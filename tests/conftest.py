@@ -1,0 +1,16 @@
+"""Test harness: 8 virtual CPU devices so jax.sharding meshes are
+exercised without TPU hardware (the fake-cluster mechanism the reference
+lacks — SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Persistent compilation cache: the suite compiles many distinct kNN /
+# scan shapes; caching cuts repeat runs from minutes to seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ngpd_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
