@@ -17,6 +17,8 @@ fused program.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 
 from ..ops.neighbors import Neighborhood, matvec3, outer3
@@ -40,10 +42,17 @@ def corner_step(
     n: jnp.ndarray,
     d: jnp.ndarray,
     alpha: float = 0.1,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Solve (sum nj nj^T) v = sum (nj nj^T) vj (Denoiser.py:26-51)."""
-    vj = nbh.gather(points)
-    nj = nbh.gather(n)
+    """Solve (sum nj nj^T) v = sum (nj nj^T) vj (Denoiser.py:26-51).
+
+    ``src_*`` (here and in the other steps) are the gather sources for
+    sharded callers whose row arrays hold only local queries; they
+    default to the query arrays.
+    """
+    vj = nbh.gather(points if src_points is None else src_points)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     nj_o = outer3(nj, nj)  # (N, k, 3, 3)
     a = nbh.sum(nj_o)
     b = nbh.sum(matvec3(nj_o, vj))
@@ -58,6 +67,8 @@ def edge_step(
     edge_vectors: jnp.ndarray,
     d: jnp.ndarray,
     alpha: float = 0.1,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Corner solve with positions/normals projected off the edge
     direction plus an edge-pinning term (Denoiser.py:53-88).
@@ -68,8 +79,8 @@ def edge_step(
     """
     y = edge_vectors  # (N, 3)
     vi = points
-    vj = nbh.gather(points)
-    nj = nbh.gather(n)
+    vj = nbh.gather(points if src_points is None else src_points)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     yk = y[:, None, :]
     vj_pi = vj - jnp.sum((vj - vi[:, None, :]) * yk, axis=-1, keepdims=True) * yk
     nj_pi = nj - jnp.sum(nj * yk, axis=-1, keepdims=True) * yk
@@ -88,6 +99,8 @@ def flat_step(
     d: jnp.ndarray,
     alpha: float = 0.1,
     delta: jnp.ndarray | None = None,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Bilateral normal-position weighting (Denoiser.py:90-119):
     Wij = exp(-16||ni-nj||^2/delta^2) * exp(-4||vj-vi||^2/delta^2),
@@ -97,8 +110,8 @@ def flat_step(
     distance of gathered neighbors from their global mean,
     Denoiser.py:106-107); the driver precomputes it per class subset.
     """
-    vj = nbh.gather(points)
-    nj = nbh.gather(n)
+    vj = nbh.gather(points if src_points is None else src_points)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     dist = vj - points[:, None, :]
     if delta is None:
         w = nbh.mask.astype(points.dtype)[..., None]
@@ -126,6 +139,8 @@ def _three_term_system(
     nbh: Neighborhood,
     n: jnp.ndarray,
     wij: jnp.ndarray,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ):
     """Shared assembly of feature/new steps (Denoiser.py:144-162,191-209):
     A = (I + ni ni^T) + sum_j w_ij nj nj^T + |N(i)| ni ni^T
@@ -133,8 +148,8 @@ def _three_term_system(
     with unit term weights w0 = w1 = w2 = 1.
     """
     vi = points
-    vj = nbh.gather(points)
-    nj = nbh.gather(n)
+    vj = nbh.gather(points if src_points is None else src_points)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     ni_o = outer3(n, n)  # (N, 3, 3)
     nj_o = outer3(nj, nj)  # (N, k, 3, 3)
     w = jnp.where(nbh.mask, wij, 0.0)
@@ -156,9 +171,14 @@ def feature_step(
     n: jnp.ndarray,
     d: jnp.ndarray,
     alpha: float = 0.1,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Unweighted three-term system (Denoiser.py:174-219)."""
-    a, b = _three_term_system(points, nbh, n, jnp.ones(nbh.mask.shape, points.dtype))
+    a, b = _three_term_system(
+        points, nbh, n, jnp.ones(nbh.mask.shape, points.dtype),
+        src_points, src_normals,
+    )
     opt, _ = solve3x3_guarded(a, b, points)
     return _clamp_step(points, opt, alpha, d, strict=True)
 
@@ -170,12 +190,14 @@ def new_step(
     d: jnp.ndarray,
     alpha: float = 0.1,
     delta: jnp.ndarray | None = None,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """feature_step with the 'likeliness' weight
     w_ij = exp(-9 (nj.(vj-vi))^2 / delta^2) (Denoiser.py:121-172, weight
     defined at 141)."""
-    vj = nbh.gather(points)
-    nj = nbh.gather(n)
+    vj = nbh.gather(points if src_points is None else src_points)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     if delta is None:
         w = nbh.mask.astype(points.dtype)[..., None]
         center = jnp.sum(vj * w, axis=(0, 1)) / jnp.maximum(jnp.sum(w), 1.0)
@@ -185,7 +207,7 @@ def new_step(
     d2 = jnp.maximum(delta**2, 1e-30)
     plane_dist = jnp.sum(nj * (vj - points[:, None, :]), axis=-1)
     likeliness = jnp.exp(-9.0 * plane_dist**2 / d2)
-    a, b = _three_term_system(points, nbh, n, likeliness)
+    a, b = _three_term_system(points, nbh, n, likeliness, src_points, src_normals)
     opt, _ = solve3x3_guarded(a, b, points)
     return _clamp_step(points, opt, alpha, d, strict=True)
 

@@ -42,12 +42,24 @@ def my_feature_decomposition(
     angle: float,
     vu_tau: float = 0.3,
     vu_damping: float = 3.0,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
+    src_f_n: Optional[jnp.ndarray] = None,
 ):
     """getMyFeatureDecomposition (Processor.py:110-117): filtered NVT,
-    VU-smooth the normals, second filtered NVT on the smoothed normals."""
-    nvt1 = voting.better_filtered_nvt(points, nbh, normals, angle)
+    VU-smooth the normals, second filtered NVT on the smoothed normals.
+
+    In sharded mode ``src_f_n`` must be the full (replicated) VU-smoothed
+    normals so the second NVT gathers globally consistent values; the
+    parallel driver computes them in a first all-to-all round.
+    """
+    nvt1 = voting.better_filtered_nvt(
+        points, nbh, normals, angle, src_points, src_normals
+    )
     f_n = voting.vu_smoothed_normals(nvt1, normals, vu_tau, vu_damping)
-    decomp = voting.better_filtered_nvt(points, nbh, f_n, angle)
+    decomp = voting.better_filtered_nvt(
+        points, nbh, f_n, angle, src_points, src_f_n
+    )
     return decomp, f_n
 
 
@@ -66,17 +78,33 @@ def martin_feature_decomposition(
 
 
 def _class_delta(
-    points: jnp.ndarray, nbh: Neighborhood, row_mask: jnp.ndarray
+    points: jnp.ndarray,
+    nbh: Neighborhood,
+    row_mask: jnp.ndarray,
+    src_points: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """The reference's global neighbor-spread scale, restricted to the
     rows of one class (flat_step computes it over the filtered selection's
-    gathered neighbors, Denoiser.py:106-107)."""
-    vj = nbh.gather(points)
+    gathered neighbors, Denoiser.py:106-107).
+
+    Under shard_map (``axis_name`` set) the mean/max reductions run
+    across all shards via psum/pmax, so the scale matches the
+    single-device value exactly.
+    """
+    vj = nbh.gather(points if src_points is None else src_points)
     m = (row_mask[:, None] & nbh.mask).astype(points.dtype)
-    total = jnp.maximum(jnp.sum(m), 1.0)
-    center = jnp.sum(vj * m[..., None], axis=(0, 1)) / total
+    total = jnp.sum(m)
+    vsum = jnp.sum(vj * m[..., None], axis=(0, 1))
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+        vsum = jax.lax.psum(vsum, axis_name)
+    center = vsum / jnp.maximum(total, 1.0)
     dist = jnp.linalg.norm(vj - center, axis=-1)
-    return jnp.max(jnp.where(m > 0, dist, 0.0))
+    delta = jnp.max(jnp.where(m > 0, dist, 0.0))
+    if axis_name is not None:
+        delta = jax.lax.pmax(delta, axis_name)
+    return delta
 
 
 def denoise_iteration(
@@ -91,37 +119,65 @@ def denoise_iteration(
     strategy: tuple[str, str, str] = DEFAULT_STRATEGY,
     vu_tau: float = 0.3,
     vu_damping: float = 3.0,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
+    gather_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    axis_name: Optional[str] = None,
 ):
     """One full classify-and-update iteration for ALL points.
 
     Classes are data: each configured step runs densely and the result is
     where-selected per point — the fused-dispatch replacement for the
     reference's per-class selection filtering (Processor.py:126-138).
+
+    Sharded mode (shard_map callers): ``points``/``normals`` hold only
+    this shard's rows, ``src_points``/``src_normals`` the full replicated
+    arrays, ``gather_fn`` all-gathers a local row array into the full
+    one, and ``axis_name`` names the mesh axis for cross-shard
+    reductions. Single-device callers leave all four unset.
     """
-    decomp, f_n = my_feature_decomposition(
-        points, normals, nbh_feat, angle, vu_tau, vu_damping
+    nvt1 = voting.better_filtered_nvt(
+        points, nbh_feat, normals, angle, src_points, src_normals
+    )
+    f_n = voting.vu_smoothed_normals(nvt1, normals, vu_tau, vu_damping)
+    src_f_n = gather_fn(f_n) if gather_fn is not None else None
+    decomp = voting.better_filtered_nvt(
+        points, nbh_feat, f_n, angle, src_points, src_f_n
     )
     cls = voting.classes(decomp, class_scale)
     edge_vectors = decomp.eigvec[..., 0]  # smallest-eigval direction
 
     def run(name: str, class_id: int) -> jnp.ndarray:
         if name == "flat":
-            delta = _class_delta(points, nbh_step, cls == class_id)
+            delta = _class_delta(
+                points, nbh_step, cls == class_id, src_points, axis_name
+            )
             return steps.flat_step(
-                points, nbh_step, f_n, d, alphas[class_id], delta=delta
+                points, nbh_step, f_n, d, alphas[class_id], delta=delta,
+                src_points=src_points, src_normals=src_f_n,
             )
         if name == "edge":
             return steps.edge_step(
-                points, nbh_step, f_n, edge_vectors, d, alphas[class_id]
+                points, nbh_step, f_n, edge_vectors, d, alphas[class_id],
+                src_points=src_points, src_normals=src_f_n,
             )
         if name == "corner":
-            return steps.corner_step(points, nbh_step, f_n, d, alphas[class_id])
+            return steps.corner_step(
+                points, nbh_step, f_n, d, alphas[class_id],
+                src_points=src_points, src_normals=src_f_n,
+            )
         if name == "feature":
-            return steps.feature_step(points, nbh_step, f_n, d, alphas[class_id])
+            return steps.feature_step(
+                points, nbh_step, f_n, d, alphas[class_id],
+                src_points=src_points, src_normals=src_f_n,
+            )
         if name == "new":
-            delta = _class_delta(points, nbh_step, cls == class_id)
+            delta = _class_delta(
+                points, nbh_step, cls == class_id, src_points, axis_name
+            )
             return steps.new_step(
-                points, nbh_step, f_n, d, alphas[class_id], delta=delta
+                points, nbh_step, f_n, d, alphas[class_id], delta=delta,
+                src_points=src_points, src_normals=src_f_n,
             )
         if name == "dummy":
             return steps.dummy_step(points, nbh_step, f_n, d, alphas[class_id])

@@ -120,18 +120,31 @@ def r_inv(d: Decomposition, n: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def pvt(points: jnp.ndarray, nbh: Neighborhood) -> Decomposition:
-    """Plain neighbor covariance (Decompositionor.py:239-246)."""
-    vj = nbh.gather(points)
+def pvt(
+    points: jnp.ndarray,
+    nbh: Neighborhood,
+    src_points: Optional[jnp.ndarray] = None,
+) -> Decomposition:
+    """Plain neighbor covariance (Decompositionor.py:239-246).
+
+    ``src_*`` arguments (here and below) let sharded callers gather from
+    the FULL replicated arrays while the positional arrays hold only the
+    local query rows; they default to the query arrays.
+    """
+    vj = nbh.gather(points if src_points is None else src_points)
     center = nbh.mean(vj)
     dv = vj - center[:, None, :]
     cov = nbh.sum(outer3(dv, dv))
     return Decomposition(*eigh3x3(cov))
 
 
-def nvt(nbh: Neighborhood, n: jnp.ndarray) -> Decomposition:
+def nvt(
+    nbh: Neighborhood,
+    n: jnp.ndarray,
+    src_normals: Optional[jnp.ndarray] = None,
+) -> Decomposition:
     """Mean outer product of neighbor normals (Decompositionor.py:248-258)."""
-    nj = nbh.gather(n)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     t = nbh.mean(outer3(nj, nj))
     return Decomposition(*eigh3x3(t))
 
@@ -141,11 +154,14 @@ def _acos_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def normal_filtered_nvt(
-    nbh: Neighborhood, n: jnp.ndarray, rho: float = 0.9
+    nbh: Neighborhood,
+    n: jnp.ndarray,
+    rho: float = 0.9,
+    src_normals: Optional[jnp.ndarray] = None,
 ) -> Decomposition:
     """NVT with binary weight acos(ni.nj) <= rho; zero-weight rows fall
     back to the own-normal tensor ni ni^T (Decompositionor.py:260-276)."""
-    nj = nbh.gather(n)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     w = (_acos_dot(n[:, None, :], nj) <= rho) & nbh.mask
     wsum = jnp.sum(w, axis=1).astype(n.dtype)
     t = jnp.sum(jnp.where(w[..., None, None], outer3(nj, nj), 0.0), axis=1)
@@ -156,14 +172,19 @@ def normal_filtered_nvt(
 
 
 def better_filtered_nvt(
-    points: jnp.ndarray, nbh: Neighborhood, n: jnp.ndarray, rho: float = 0.9
+    points: jnp.ndarray,
+    nbh: Neighborhood,
+    n: jnp.ndarray,
+    rho: float = 0.9,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ) -> Decomposition:
     """NVT weighted by acos(|normalize(vj-vi) . nj|) > rho; rows whose
     weights all vanish get every weight reset to 1
     (Decompositionor.py:278-300, rescue at 292-296)."""
-    vj = nbh.gather(points)
+    vj = nbh.gather(points if src_points is None else src_points)
     dv = normalize(vj - points[:, None, :])
-    nj = nbh.gather(n)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     ang = jnp.arccos(jnp.clip(jnp.abs(jnp.sum(dv * nj, axis=-1)), -1.0, 1.0))
     w = (ang > rho) & nbh.mask
     wsum = jnp.sum(w, axis=1)
@@ -176,14 +197,19 @@ def better_filtered_nvt(
 
 
 def normal_filtered_pvt(
-    points: jnp.ndarray, nbh: Neighborhood, n: jnp.ndarray, rho: float = 0.9
+    points: jnp.ndarray,
+    nbh: Neighborhood,
+    n: jnp.ndarray,
+    rho: float = 0.9,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ) -> Decomposition:
     """Weighted covariance about the weighted neighbor mean
     (Decompositionor.py:172-211), weight acos(ni.nj) <= rho; zero-weight
     rows rebuilt from the analytic cross-sample tensor
     (Decompositionor.py:201-209)."""
-    vj = nbh.gather(points)
-    nj = nbh.gather(n)
+    vj = nbh.gather(points if src_points is None else src_points)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     w = (_acos_dot(n[:, None, :], nj) <= rho) & nbh.mask
     wsum0 = jnp.sum(w, axis=1)
     # First rescue (Decompositionor.py:188-192): rows with zero weight get
@@ -205,15 +231,20 @@ def normal_filtered_pvt(
 
 
 def better_filtered_pvt(
-    points: jnp.ndarray, nbh: Neighborhood, n: jnp.ndarray, rho: float = 0.9
+    points: jnp.ndarray,
+    nbh: Neighborhood,
+    n: jnp.ndarray,
+    rho: float = 0.9,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ) -> Decomposition:
     """Covariance weighted by acos(|normalize(dv) . nj|) > rho
     (Decompositionor.py:213-237). The reference divides by a possibly-zero
     weight sum (no rescue, NaNs downstream); here zero-weight rows fall
     back to all-ones weights — a deliberate, documented fix."""
-    vj = nbh.gather(points)
+    vj = nbh.gather(points if src_points is None else src_points)
     dv = normalize(vj - points[:, None, :])
-    nj = nbh.gather(n)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     ang = jnp.arccos(jnp.clip(jnp.abs(jnp.sum(dv * nj, axis=-1)), -1.0, 1.0))
     w = (ang > rho) & nbh.mask
     wsum0 = jnp.sum(w, axis=1)
@@ -233,6 +264,8 @@ def md_transformation(
     n: jnp.ndarray,
     mass: jnp.ndarray,
     sigma_inv: float = 3.0,
+    src_points: Optional[jnp.ndarray] = None,
+    src_normals: Optional[jnp.ndarray] = None,
 ):
     """The paper's patch voting tensor (Decompositionor.py:136-170).
 
@@ -243,13 +276,13 @@ def md_transformation(
 
     Returns (Decomposition, scale_factors (N,)).
     """
-    vj = nbh.gather(points)
+    vj = nbh.gather(points if src_points is None else src_points)
     dv = vj - points[:, None, :]
     dist = jnp.linalg.norm(dv, axis=-1)
     max_dist = jnp.max(jnp.where(nbh.mask, dist, 0.0), axis=1)
     scale = 1.0 / jnp.maximum(max_dist, 1e-30)
     dv_s = dv * scale[:, None, None]
-    nj = nbh.gather(n)
+    nj = nbh.gather(n if src_normals is None else src_normals)
     w = normalize(jnp.cross(jnp.cross(dv_s, nj), dv_s))
     nj_ref = 2.0 * jnp.sum(nj * w, axis=-1, keepdims=True) * w - nj
     areas = nbh.gather(mass) * (scale**2)[:, None]

@@ -4,7 +4,11 @@ lacks — SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment registers the axon TPU plugin at
+# interpreter start (sitecustomize) and pins jax_platforms="axon,cpu";
+# unit tests must run on the 8-device virtual CPU instead, so override
+# the config AFTER importing jax (env vars alone are ignored).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,3 +18,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 # scan shapes; caching cuts repeat runs from minutes to seconds.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ngpd_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
