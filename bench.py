@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: classical denoise throughput on one TPU chip.
+
+Workload from BASELINE.json's north star: a 1M-point cloud, neighbor
+k = 32, 20 denoise iterations, target < 1 s on a single v5e chip —
+i.e. >= 20M point-iterations/second. The full pipeline runs per
+iteration: voxel-grid kNN rebuild, two filtered-NVT eigendecompositions,
+VU normal smoothing, classification, and the class-dispatched vertex
+updates.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+value = point-iterations per second; vs_baseline = value / 20e6
+(>1 means the <1 s target is beaten).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_cloud(n: int, seed: int = 0):
+    """A wavy surface patch — surface-like density so the voxel grid is
+    representative (a random volume fill would be too easy)."""
+    rng = np.random.default_rng(seed)
+    side = int(np.sqrt(n))
+    xs = np.linspace(0.0, 10.0, side, dtype=np.float32)
+    xx, yy = np.meshgrid(xs, xs, indexing="ij")
+    zz = 0.5 * np.sin(xx) * np.cos(yy)
+    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    extra = n - len(pts)
+    if extra > 0:
+        sel = rng.integers(0, len(pts), extra)
+        pts = np.concatenate([pts, pts[sel] + rng.normal(scale=1e-3, size=(extra, 3)).astype(np.float32)])
+    # Noise along z.
+    noise = rng.normal(scale=0.02, size=(len(pts), 1)).astype(np.float32)
+    normals = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (len(pts), 1))
+    return (pts + normals * noise).astype(np.float32), normals
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ngpd_tpu.config import DenoiseConfig
+    from ngpd_tpu.core.pipeline import denoise
+
+    platform = jax.devices()[0].platform
+    default_n = 1_000_000 if platform != "cpu" else 20_000
+    n = int(os.environ.get("NGPD_BENCH_N", default_n))
+    iters = int(os.environ.get("NGPD_BENCH_ITERS", 20))
+    k = int(os.environ.get("NGPD_BENCH_K", 32))
+
+    pts_np, nrm_np = make_cloud(n)
+    pts = jnp.asarray(pts_np)
+    nrm = jnp.asarray(nrm_np)
+
+    cfg = DenoiseConfig(feature_k=k, step_k=8)
+    run = lambda: denoise(pts, nrm, cfg, iterations=iters)
+
+    # Warm-up compile.
+    out, _, _ = run()
+    out.block_until_ready()
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, _, _ = run()
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+
+    value = n * iters / best
+    target = 20e6  # 1M pts x 20 iters in 1 s
+    print(
+        json.dumps(
+            {
+                "metric": f"denoise throughput ({n} pts, k={k}, {iters} iters, {platform})",
+                "value": round(value, 1),
+                "unit": "point-iterations/s",
+                "vs_baseline": round(value / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,9 +53,12 @@ def corner_step(
     """
     vj = nbh.gather(points if src_points is None else src_points)
     nj = nbh.gather(n if src_normals is None else src_normals)
-    nj_o = outer3(nj, nj)  # (N, k, 3, 3)
-    a = nbh.sum(nj_o)
-    b = nbh.sum(matvec3(nj_o, vj))
+    m = nbh.mask.astype(nj.dtype)[..., None]
+    njm = nj * m
+    # a = sum nj nj^T, b = sum nj (nj . vj) — batched matmuls, no
+    # (N, k, 3, 3) intermediate.
+    a = jnp.einsum("nki,nkj->nij", njm, nj)
+    b = jnp.einsum("nki,nk->ni", njm, jnp.sum(nj * vj, axis=-1))
     opt, _ = solve3x3_guarded(a, b, points)
     return _clamp_step(points, opt, alpha, d, strict=True)
 
@@ -84,10 +87,15 @@ def edge_step(
     yk = y[:, None, :]
     vj_pi = vj - jnp.sum((vj - vi[:, None, :]) * yk, axis=-1, keepdims=True) * yk
     nj_pi = nj - jnp.sum(nj * yk, axis=-1, keepdims=True) * yk
-    nj_o = outer3(nj_pi, nj_pi)
+    m = nbh.mask.astype(nj.dtype)
+    deg = jnp.sum(m, axis=1)
+    njm = nj_pi * m[..., None]
     y_o = outer3(y, y)  # (N, 3, 3)
-    a = nbh.sum(nj_o + y_o[:, None, :, :])
-    b = nbh.sum(matvec3(nj_o, vj_pi) + matvec3(y_o, vi)[:, None, :])
+    a = jnp.einsum("nki,nkj->nij", njm, nj_pi) + deg[:, None, None] * y_o
+    b = (
+        jnp.einsum("nki,nk->ni", njm, jnp.sum(nj_pi * vj_pi, axis=-1))
+        + deg[:, None] * matvec3(y_o, vi)
+    )
     opt, _ = solve3x3_guarded(a, b, points)
     return _clamp_step(points, opt, alpha, d, strict=True)
 
@@ -151,13 +159,13 @@ def _three_term_system(
     vj = nbh.gather(points if src_points is None else src_points)
     nj = nbh.gather(n if src_normals is None else src_normals)
     ni_o = outer3(n, n)  # (N, 3, 3)
-    nj_o = outer3(nj, nj)  # (N, k, 3, 3)
     w = jnp.where(nbh.mask, wij, 0.0)
-    summed_nj_o = jnp.sum(w[..., None, None] * nj_o, axis=1)
+    njw = nj * w[..., None]
+    summed_nj_o = jnp.einsum("nki,nkj->nij", njw, nj)
     # Cardinality is the reference's slice length — the raw neighbor count
     # of the selection (Denoiser.py:148,204), NOT weighted.
     cardinality = nbh.degree()
-    summed_nj_o_vj = jnp.sum(w[..., None] * matvec3(nj_o, vj), axis=1)
+    summed_nj_o_vj = jnp.einsum("nki,nk->ni", njw, jnp.sum(nj * vj, axis=-1))
     summed_vj = jnp.sum(w[..., None] * vj, axis=1)
     eye = jnp.eye(3, dtype=points.dtype)
     a = eye[None] + ni_o + summed_nj_o + cardinality[:, None, None] * ni_o

@@ -209,6 +209,8 @@ def step_threshold(points: jnp.ndarray, num_valid=None) -> jnp.ndarray:
         "cfg",
         "strategy",
         "iterations",
+        "neighbor_method",
+        "grid_capacity",
     ),
 )
 def denoise(
@@ -218,6 +220,8 @@ def denoise(
     strategy: tuple[str, str, str] = DEFAULT_STRATEGY,
     iterations: Optional[int] = None,
     num_valid: Optional[jnp.ndarray] = None,
+    neighbor_method: str = "auto",
+    grid_capacity: int = 96,
 ):
     """Fixed-iteration denoise (Processor.denoise, Processor.py:119-139).
 
@@ -226,15 +230,38 @@ def denoise(
     Selector.py:141 — recomputing is strictly more faithful to the
     geometry and costs one fused kNN per iteration on TPU).
 
+    ``neighbor_method``: "brute" (exact tiled O(N^2), default below
+    100k points), "grid" (voxel-hash, the >=100k path), or "auto".
+
     Returns (denoised points, final normals, final classes).
     """
     iters = cfg.iterations if iterations is None else iterations
+    n = points.shape[0]
+    use_grid = neighbor_method == "grid" or (
+        neighbor_method == "auto" and n >= 100_000
+    )
     d = cfg.d_scale / 2.0 * step_threshold(points, num_valid)
+    if use_grid:
+        from ..ops.knn import estimate_cell_size, knn_grid
+
+        # Cell sized for the largest k in play, estimated once on the
+        # noisy input (positions only shrink toward the surface).
+        cell = estimate_cell_size(points, max(cfg.feature_k, cfg.step_k))
+
+        def neighbors(pos, k):
+            return knn_grid(
+                pos, k, cell, capacity=grid_capacity, num_valid=num_valid
+            )
+
+    else:
+
+        def neighbors(pos, k):
+            return knn(pos, k, num_valid=num_valid)
 
     def body(carry, _):
         pos, nrm = carry
-        nbh_feat, _ = knn(pos, cfg.feature_k, num_valid=num_valid)
-        nbh_step, _ = knn(pos, cfg.step_k, num_valid=num_valid)
+        nbh_feat, _ = neighbors(pos, cfg.feature_k)
+        nbh_step, _ = neighbors(pos, cfg.step_k)
         new_pos, f_n, cls = denoise_iteration(
             pos,
             nrm,

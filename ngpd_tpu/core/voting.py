@@ -134,7 +134,9 @@ def pvt(
     vj = nbh.gather(points if src_points is None else src_points)
     center = nbh.mean(vj)
     dv = vj - center[:, None, :]
-    cov = nbh.sum(outer3(dv, dv))
+    dv = jnp.where(nbh.mask[..., None], dv, 0.0)
+    # Batched (3,k)@(k,3) rides the MXU and never materializes (N,k,3,3).
+    cov = jnp.einsum("nki,nkj->nij", dv, dv)
     return Decomposition(*eigh3x3(cov))
 
 
@@ -145,7 +147,9 @@ def nvt(
 ) -> Decomposition:
     """Mean outer product of neighbor normals (Decompositionor.py:248-258)."""
     nj = nbh.gather(n if src_normals is None else src_normals)
-    t = nbh.mean(outer3(nj, nj))
+    w = nbh.mask.astype(nj.dtype)
+    t = jnp.einsum("nki,nkj->nij", nj * w[..., None], nj)
+    t = t / jnp.maximum(nbh.degree(), 1.0)[:, None, None]
     return Decomposition(*eigh3x3(t))
 
 
@@ -164,7 +168,7 @@ def normal_filtered_nvt(
     nj = nbh.gather(n if src_normals is None else src_normals)
     w = (_acos_dot(n[:, None, :], nj) <= rho) & nbh.mask
     wsum = jnp.sum(w, axis=1).astype(n.dtype)
-    t = jnp.sum(jnp.where(w[..., None, None], outer3(nj, nj), 0.0), axis=1)
+    t = jnp.einsum("nki,nkj->nij", nj * w[..., None].astype(nj.dtype), nj)
     t = t / jnp.maximum(wsum, 1.0)[:, None, None]
     rescue = outer3(n, n)
     t = jnp.where((wsum == 0)[:, None, None], rescue, t)
@@ -191,7 +195,7 @@ def better_filtered_nvt(
     # Zero-weight rescue: all valid neighbors get weight 1.
     w = jnp.where((wsum == 0)[:, None], nbh.mask, w)
     wsum = jnp.sum(w, axis=1).astype(n.dtype)
-    t = jnp.sum(jnp.where(w[..., None, None], outer3(nj, nj), 0.0), axis=1)
+    t = jnp.einsum("nki,nkj->nij", nj * w[..., None].astype(nj.dtype), nj)
     t = t / jnp.maximum(wsum, 1.0)[:, None, None]
     return Decomposition(*eigh3x3(t))
 
@@ -219,7 +223,7 @@ def normal_filtered_pvt(
     wsum = jnp.sum(wf, axis=1)
     center = jnp.sum(wf[..., None] * vj, axis=1) / jnp.maximum(wsum, 1.0)[:, None]
     dv = vj - center[:, None, :]
-    t = jnp.sum(wf[..., None, None] * outer3(dv, dv), axis=1)
+    t = jnp.einsum("nki,nkj->nij", dv * wf[..., None], dv)
     t = t / jnp.maximum(wsum, 1.0)[:, None, None]
     # Second rescue (Decompositionor.py:201-209): still-empty rows (no
     # valid neighbors at all) get the tensor spanned by +-cross samples.
@@ -253,7 +257,7 @@ def better_filtered_pvt(
     wsum = jnp.sum(wf, axis=1)
     center = jnp.sum(wf[..., None] * vj, axis=1) / jnp.maximum(wsum, 1.0)[:, None]
     dvc = vj - center[:, None, :]
-    t = jnp.sum(wf[..., None, None] * outer3(dvc, dvc), axis=1)
+    t = jnp.einsum("nki,nkj->nij", dvc * wf[..., None], dvc)
     t = t / jnp.maximum(wsum, 1.0)[:, None, None]
     return Decomposition(*eigh3x3(t))
 
@@ -292,5 +296,5 @@ def md_transformation(
         -ddcs * sigma_inv
     )
     mu = jnp.where(nbh.mask, mu, 0.0)
-    t = jnp.sum(mu[..., None, None] * outer3(nj_ref, nj_ref), axis=1)
+    t = jnp.einsum("nki,nkj->nij", nj_ref * mu[..., None], nj_ref)
     return Decomposition(*eigh3x3(t)), scale

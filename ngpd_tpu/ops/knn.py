@@ -270,6 +270,11 @@ def knn_grid(
         self_idx = jnp.zeros((num_chunks, query_tile), dtype=jnp.int32)
 
     cap_iota = jnp.arange(capacity, dtype=jnp.int32)
+    # Structure-of-arrays view: gathering (T, 27*C, 3) rows would get
+    # lane-padded 3 -> 128 by the TPU tiler (a 42x memory/bandwidth
+    # blowup); per-component gathers keep the large candidate axis in
+    # the lanes instead.
+    points_t = points.T  # (3, N)
 
     def run(args):
         qc, ex = args  # (T, 3), (T,)
@@ -282,8 +287,10 @@ def knn_grid(
         run_ok = (pos < n) & (ph_sorted[pos_c] == nh[..., None])
         cand = order[pos_c].reshape(t, 27 * capacity)  # global point ids
         valid = run_ok.reshape(t, 27 * capacity) & (cand < nv)
-        diff = points[cand] - qc[:, None, :]
-        d = jnp.sum(diff * diff, axis=-1)
+        d = jnp.zeros(cand.shape, jnp.float32)
+        for c in range(3):
+            diff = points_t[c][cand] - qc[:, c][:, None]
+            d = d + diff * diff
         d = jnp.where(valid, d, _INF)
         if exclude_self:
             d = jnp.where(cand == ex[:, None], _INF, d)
