@@ -118,6 +118,8 @@ class PatchConfig:
     num_nodes: int = 64
     num_features: int = 17
     k_patch_radius: float = 4.0
+    # Intra-patch neighbor count for the point-cloud patch graphs.
+    patch_k: int = 12
     # Tensor-vote falloff (RotationMatrix.py:12 uses sigma=1/3, i.e. the
     # exponent -d/sigma == -3d; PatchData.cpp:262-290 uses exp(-3*d)).
     sigma_inv: float = 3.0

@@ -1,0 +1,141 @@
+"""MD patch extraction — training inputs for the Patch2Normal model.
+
+Rebuilds the reference chain Processor.getMDPatches (Processor.py:40-81)
++ Selector.getMDSelection (Selector.py:249-262) + the MD voting
+transformation (Decompositionor.py:136-170) as one batched, fixed-shape
+pipeline:
+
+  * Patch membership: the reference takes a 2-ring, derives a ball
+    radius r = K_PATCH_RADIUS * sqrt(mean 2-ring mass) (Selector.py:
+    205-212, Config.py:49-50), and ball-queries a KD-tree. Here the
+    radius uses the mean mass over the feature-k neighborhood and the
+    ball query becomes kNN(P) + distance mask — static shapes.
+  * Per-point mass: the reference uses the robust-laplacian lumped mass
+    matrix (GraphBuilder.py:65-70), a Voronoi-area estimate. The TPU
+    equivalent estimates local area from the kNN radius:
+    mass_i = pi * r_k(i)^2 / k — same units, same role (area weight in
+    the voting tensor and the patch 'a' feature).
+  * Node features x = [c(3), n(3), a(1), deg(1)] with c centered,
+    scaled by the patch scale factor and rotated by R_inv; target
+    y = gt_n @ R_inv (Processor.py:50-81).
+  * Intra-patch graph: instead of relabeling a global-graph subgraph
+    (Processor.py:78), each patch node takes its K nearest neighbors
+    WITHIN the patch — a (P, P) distance tile per patch, batched.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PatchConfig
+from ..ops.knn import knn
+from ..ops.neighbors import Neighborhood
+from . import voting
+
+
+class PatchBatch(NamedTuple):
+    """Fixed-shape patch batch, directly consumable by Patch2NormalModel."""
+
+    x: jnp.ndarray  # (B, P, 8)
+    nbr_idx: jnp.ndarray  # (B, P, K) intra-patch indices
+    nbr_mask: jnp.ndarray  # (B, P, K)
+    node_mask: jnp.ndarray  # (B, P)
+    y: jnp.ndarray  # (B, 3) rotated GT normal
+    r_inv: jnp.ndarray  # (B, 3, 3) to un-rotate predictions
+
+
+def point_masses(dists: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Area-per-point estimate from the k-th NN distance (see module
+    docstring)."""
+    rk2 = dists[:, -1]
+    return jnp.pi * rk2 / k
+
+
+def md_selection(
+    points: jnp.ndarray,
+    cfg: PatchConfig = PatchConfig(),
+    feature_k: int = 16,
+    num_valid: Optional[jnp.ndarray] = None,
+):
+    """Patch membership: kNN(P) capped by the MD ball radius.
+
+    Returns (Neighborhood (N, P), mass (N,), radii (N,)).
+    """
+    nbh_k, d_k = knn(points, feature_k, num_valid=num_valid)
+    mass = point_masses(d_k, feature_k)
+    mean_mass = nbh_k.mean(nbh_k.gather(mass))
+    radii = cfg.k_patch_radius * jnp.sqrt(jnp.maximum(mean_mass, 0.0))
+    nbh_p, d_p = knn(points, cfg.num_nodes, num_valid=num_valid)
+    in_ball = d_p <= (radii**2)[:, None]
+    return nbh_p.and_mask(in_ball), mass, radii
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "feature_k"))
+def extract_patches(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    gt_normals: Optional[jnp.ndarray] = None,
+    cfg: PatchConfig = PatchConfig(),
+    feature_k: int = 16,
+    num_valid: Optional[jnp.ndarray] = None,
+) -> PatchBatch:
+    """One patch per point, all N at once (getMDPatches semantics).
+
+    The reference builds these in a per-point Python loop with tqdm
+    (Processor.py:47); here it is one batched program.
+    """
+    gt_n = normals if gt_normals is None else gt_normals
+    nbh, mass, _ = md_selection(points, cfg, feature_k, num_valid)
+
+    dec, scale = voting.md_transformation(points, nbh, normals, mass)
+    r_inv = voting.r_inv(dec, normals)  # (N, 3, 3)
+
+    pj = nbh.gather(points)  # (N, P, 3)
+    nj = nbh.gather(normals)
+    aj = nbh.gather(mass)
+    node_mask = nbh.mask
+
+    # Patch degree feature: valid-neighbor count of each member point in
+    # ITS OWN patch-k graph — approximated by the member's global kNN
+    # degree, which for dense clouds is the constant k; use the patch
+    # membership count instead (informative, mask-aware).
+    deg_global = jnp.sum(nbh.mask, axis=1).astype(jnp.float32)  # (N,)
+    dj = nbh.gather(deg_global)
+
+    m = node_mask.astype(points.dtype)[..., None]
+    centers = jnp.sum(pj * m, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1), 1.0
+    )
+    c = (pj - centers[:, None, :]) * scale[:, None, None]
+    c = jnp.einsum("npi,nij->npj", c, r_inv)
+    n_rot = jnp.einsum("npi,nij->npj", nj, r_inv)
+    a = (aj * scale[:, None])[..., None]
+    x = jnp.concatenate([c, n_rot, a, dj[..., None]], axis=-1)  # (N, P, 8)
+    x = jnp.where(node_mask[..., None], x, 0.0)
+
+    y = jnp.einsum("ni,nij->nj", gt_n, r_inv)
+
+    # Intra-patch kNN over the rotated/centered coords.
+    d = jnp.sum((c[:, :, None, :] - c[:, None, :, :]) ** 2, axis=-1)
+    big = jnp.asarray(jnp.inf, points.dtype)
+    valid_pair = node_mask[:, :, None] & node_mask[:, None, :]
+    p = cfg.num_nodes
+    d = jnp.where(valid_pair, d, big)
+    d = d + jnp.where(jnp.eye(p, dtype=bool)[None], big, 0.0)
+    k = min(cfg.patch_k, p - 1)
+    neg, idx = jax.lax.top_k(-d, k)
+    nbr_mask = jnp.isfinite(-neg)
+    nbr_idx = jnp.where(nbr_mask, idx, 0)
+
+    return PatchBatch(
+        x=x,
+        nbr_idx=nbr_idx.astype(jnp.int32),
+        nbr_mask=nbr_mask,
+        node_mask=node_mask,
+        y=y,
+        r_inv=r_inv,
+    )

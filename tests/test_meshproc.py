@@ -1,0 +1,115 @@
+"""Mesh track: geometry ops, vertex updating, GNF, error metrics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ngpd_tpu.config import GNFConfig
+from ngpd_tpu.meshproc import metrics as mm
+from ngpd_tpu.meshproc.filtering import (
+    guided_normal_filter,
+    update_vertex_positions,
+)
+from ngpd_tpu.meshproc.trimesh import TriMesh
+
+from fixtures import OCTA_F, OCTA_V
+
+
+def _plane_mesh(n=12, spacing=1.0):
+    xs = np.arange(n, dtype=np.float32) * spacing
+    xx, yy = np.meshgrid(xs, xs, indexing="ij")
+    v = np.stack([xx, yy, np.zeros_like(xx)], -1).reshape(-1, 3)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + n, a + 1])
+            faces.append([a + 1, a + n, a + n + 1])
+    return v, np.asarray(faces, np.int32)
+
+
+def test_octahedron_face_data():
+    m = TriMesh.from_numpy(OCTA_V, OCTA_F)
+    normals, areas, centroids = m.face_data()
+    # Exact-value asserts (test_Mesh.py:91-151 style).
+    np.testing.assert_allclose(np.asarray(areas), np.sqrt(3) / 2, atol=1e-6)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(normals), axis=1), 1.0, atol=1e-6
+    )
+    # Normals point away from the origin.
+    assert (np.sum(np.asarray(normals) * np.asarray(centroids), axis=1) > 0).all()
+    # Vertex normals radial.
+    vn = np.asarray(m.vertex_normals())
+    radial = OCTA_V / np.linalg.norm(OCTA_V, axis=1, keepdims=True)
+    np.testing.assert_allclose(vn, radial, atol=1e-6)
+
+
+def test_adjacency():
+    m = TriMesh.from_numpy(OCTA_V, OCTA_F)
+    vf_idx, vf_mask = m.vertex_face_adjacency()
+    assert np.asarray(vf_mask).sum() == 8 * 3  # every face at 3 vertices
+    ff_idx, ff_mask = m.face_face_adjacency()
+    assert np.asarray(ff_mask).all()  # closed surface: 3 neighbors each
+
+
+def test_transforms():
+    m = TriMesh.from_numpy(OCTA_V, OCTA_F)
+    t = m.translated(jnp.asarray([1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(
+        np.asarray(t.v).mean(0), [1.0, 2.0, 3.0], atol=1e-6
+    )
+    r = m.resized(2.0)
+    np.testing.assert_allclose(
+        np.asarray(r.average_edge_length()),
+        np.asarray(m.average_edge_length()) * 2,
+        rtol=1e-5,
+    )
+    u = m.translated(jnp.asarray([5.0, 0.0, 0.0])).centered_unit()
+    assert abs(float(jnp.max(u.v) - 0.5)) < 1e-5
+
+
+def test_update_vertex_positions_flattens():
+    v, f = _plane_mesh(10)
+    rng = np.random.default_rng(0)
+    noisy = v.copy()
+    noisy[:, 2] += rng.normal(scale=0.2, size=len(v)).astype(np.float32)
+    m = TriMesh.from_numpy(noisy, f)
+    vf_idx, vf_mask = m.vertex_face_adjacency()
+    gt_normals = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (len(f), 1))
+    out = update_vertex_positions(
+        m.v, m.f, vf_idx, vf_mask, gt_normals, iterations=16
+    )
+    z = np.asarray(out)[:, 2]
+    assert z.std() < noisy[:, 2].std() * 0.2, z.std()
+    # x/y drift stays tiny (updates ride the +z normals).
+    np.testing.assert_allclose(np.asarray(out)[:, :2], noisy[:, :2], atol=1e-4)
+
+
+def test_guided_normal_filter_denoises():
+    v, f = _plane_mesh(12)
+    rng = np.random.default_rng(1)
+    noisy = v.copy()
+    noisy[:, 2] += rng.normal(scale=0.15, size=len(v)).astype(np.float32)
+    gt = TriMesh.from_numpy(v, f)
+    m = TriMesh.from_numpy(noisy, f)
+    guidance = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (len(f), 1))
+    cfg = GNFConfig(normal_iterations=4, vertex_iterations=8)
+    out = guided_normal_filter(m, guidance, cfg, neighbors=32)
+    ea_before = float(mm.mean_angular_error(m, gt))
+    ea_after = float(mm.mean_angular_error(out, gt))
+    assert ea_after < ea_before * 0.3, (ea_before, ea_after)
+
+
+def test_metrics_zero_on_identical():
+    m = TriMesh.from_numpy(OCTA_V, OCTA_F)
+    # f32 acos near dot=1 floors at ~0.06 deg per face.
+    assert float(mm.mean_angular_error(m, m)) < 0.1
+    assert float(mm.msae(m, m)) < 0.1
+    assert float(mm.vertex_distance(m, m)) < 1e-6
+
+
+def test_error_map_colors():
+    v, f = _plane_mesh(6)
+    gt = TriMesh.from_numpy(v, f)
+    colors = mm.error_map_colors(gt, gt)
+    # Zero error -> pure blue.
+    np.testing.assert_allclose(colors, [[0.0, 0.0, 1.0]] * len(v), atol=1e-6)
