@@ -1,0 +1,256 @@
+"""Command-line interface.
+
+The reference's "CLI" is a pile of notebooks (PostProcessing.ipynb,
+TrainerV1000.ipynb, PredictorSUPERVERSION.ipynb, ...) plus the Qt app's
+buttons (GCNDenoiser.cpp:11-33). Here every workflow is a subcommand:
+
+  python -m ngpd_tpu.apps.cli denoise noisy.obj -o out.obj
+  python -m ngpd_tpu.apps.cli denoise noisy.obj --gt clean.obj --until-min
+  python -m ngpd_tpu.apps.cli eval clean.obj denoised.obj
+  python -m ngpd_tpu.apps.cli make-dataset raw/*.obj -o patchds/
+  python -m ngpd_tpu.apps.cli train patchds/ -o ckpts/
+  python -m ngpd_tpu.apps.cli predict-normals noisy.obj --ckpt ckpts/ -o n.xyz
+  python -m ngpd_tpu.apps.cli denoise-mesh noisy.obj -o out.obj [--gt clean.obj]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_cloud(path):
+    from ..io.obj import load_obj
+    from ..io.ply import load_ply
+    from ..io.xyz import load_xyz
+
+    suffix = Path(path).suffix
+    if suffix == ".obj":
+        return load_obj(path)
+    if suffix in (".xyz", ".clean_xyz"):
+        return load_xyz(path)
+    if suffix == ".ply":
+        return load_ply(path)
+    raise SystemExit(f"unsupported input format: {suffix}")
+
+
+def _estimated_normals(points, k=12):
+    from ..core.normals import orient_normals, pvt_normals
+    from ..ops.knn import knn
+
+    nbh, _ = knn(points, k, exclude_self=True)
+    return orient_normals(points, pvt_normals(points, nbh), nbh)
+
+
+def cmd_denoise(args):
+    import jax.numpy as jnp
+
+    from ..config import DenoiseConfig
+    from ..core.fused import fused_denoise
+    from ..core.pipeline import denoise, denoise_until_minimum_error
+    from ..io.obj import save_obj
+
+    cloud = _load_cloud(args.input)
+    pts = cloud.points
+    nrm = cloud.normals if cloud.has_normals() else _estimated_normals(pts)
+    cfg = DenoiseConfig(feature_k=args.feature_k, step_k=args.step_k)
+    strategy = tuple(args.strategy.split(","))
+    if args.until_min:
+        if not args.gt:
+            raise SystemExit("--until-min requires --gt")
+        gt = _load_cloud(args.gt).points
+        out, err, iters = denoise_until_minimum_error(
+            pts, nrm, gt, cfg, strategy=strategy,
+            max_iterations=args.iterations or 64,
+        )
+        print(f"stopped after {int(iters)} iterations, error {float(err):.4e}")
+        nrm_out = nrm
+    elif args.fused or len(cloud) >= 100_000:
+        out, nrm_out, _ = fused_denoise(
+            pts, nrm, cfg, strategy=strategy, iterations=args.iterations or 2,
+            window=args.window,
+        )
+    else:
+        out, nrm_out, _ = denoise(
+            pts, nrm, cfg, strategy=strategy, iterations=args.iterations or 2
+        )
+    save_obj(args.output, np.asarray(out), np.asarray(nrm_out))
+    print(f"wrote {args.output}")
+
+
+def cmd_eval(args):
+    import jax.numpy as jnp
+
+    from ..ops import metrics
+
+    gt = _load_cloud(args.gt).points
+    test = _load_cloud(args.input).points
+    out = {
+        "cd": float(jnp.mean(metrics.chamfer_distance(test, gt))),
+        "scd": float(jnp.mean(metrics.single_chamfer_distance(test, gt))),
+        "hausdorff_max": float(jnp.max(metrics.hausdorff_distance(test, gt))),
+        "paper": float(jnp.mean(metrics.paper_distance(gt, test))),
+    }
+    print(json.dumps(out, indent=1))
+
+
+def cmd_make_dataset(args):
+    from ..config import TrainConfig
+    from ..learn.dataset import generate_dataset
+
+    cfg = TrainConfig()
+    manifest = generate_dataset(
+        args.inputs, args.output, train_cfg=cfg,
+        sample_points=args.sample_points, balance=not args.no_balance,
+    )
+    total = sum(s["count"] for s in manifest["shards"])
+    print(f"wrote {len(manifest['shards'])} shards, {total} patches")
+
+
+def cmd_train(args):
+    import jax
+
+    from ..config import ModelConfig, TrainConfig
+    from ..learn.dataset import PatchDataset
+    from ..learn.train import fit, init_model
+
+    train_cfg = TrainConfig(
+        num_epochs=args.epochs, batch_size=args.batch_size
+    )
+    model, state, tx = init_model(
+        ModelConfig(), train_cfg, jax.random.PRNGKey(train_cfg.seed)
+    )
+    train_ds = PatchDataset(args.dataset, "train")
+    val_ds = PatchDataset(args.dataset, "val")
+    print(f"train {len(train_ds)} patches, val {len(val_ds)}")
+    state = fit(
+        model, state, tx,
+        lambda: train_ds.batches(train_cfg.batch_size, seed=0),
+        lambda: val_ds.batches(train_cfg.batch_size, seed=1),
+        train_cfg,
+        log_dir=Path(args.output) / "logs",
+        checkpoint_dir=Path(args.output) / "ckpts",
+    )
+    print(f"done; checkpoints under {args.output}/ckpts")
+
+
+def cmd_predict_normals(args):
+    import jax
+
+    from ..config import ModelConfig, TrainConfig
+    from ..io.xyz import save_xyz
+    from ..learn.checkpoints import CheckpointManager
+    from ..learn.predict import predict_cloud_normals
+    from ..learn.train import init_model
+
+    cloud = _load_cloud(args.input)
+    model, state, _ = init_model(
+        ModelConfig(), TrainConfig(), jax.random.PRNGKey(0)
+    )
+    if args.ckpt:
+        state = CheckpointManager(args.ckpt).restore(state)
+    normals = predict_cloud_normals(model, state, cloud.points)
+    save_xyz(args.output, cloud.valid_points(), np.asarray(normals))
+    print(f"wrote {args.output}")
+
+
+def cmd_denoise_mesh(args):
+    import jax.numpy as jnp
+
+    from ..config import GNFConfig
+    from ..io.obj import read_obj, save_obj
+    from ..meshproc import metrics as mesh_metrics
+    from ..meshproc.filtering import guided_normal_filter
+    from ..meshproc.trimesh import TriMesh
+
+    data = read_obj(args.input)
+    if data.fv.shape[0] == 0:
+        raise SystemExit("denoise-mesh needs a triangle mesh input")
+    mesh = TriMesh.from_numpy(data.v, data.fv)
+    cfg = GNFConfig(
+        normal_iterations=args.normal_iterations,
+        vertex_iterations=args.vertex_iterations,
+    )
+    # Guidance: GT normals when given (the GCN-prediction slot), else the
+    # mesh's own normals bilaterally pre-smoothed by one GNF round.
+    if args.gt:
+        gt_data = read_obj(args.gt)
+        gt_mesh = TriMesh.from_numpy(gt_data.v, gt_data.fv)
+        guidance, _, _ = gt_mesh.face_data()
+    else:
+        guidance, _, _ = mesh.face_data()
+    out = guided_normal_filter(mesh, guidance, cfg)
+    colors = None
+    if args.gt:
+        ea = float(mesh_metrics.mean_angular_error(out, gt_mesh))
+        print(f"Ea: {ea:.3f} deg")
+        if args.error_map:
+            colors = mesh_metrics.error_map_colors(out, gt_mesh)
+    save_obj(
+        args.output, np.asarray(out.v), colors=colors,
+        faces=np.asarray(out.f),
+    )
+    print(f"wrote {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ngpd_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("denoise", help="classical point-cloud denoise")
+    d.add_argument("input")
+    d.add_argument("-o", "--output", required=True)
+    d.add_argument("--iterations", type=int, default=None)
+    d.add_argument("--feature-k", type=int, default=16)
+    d.add_argument("--step-k", type=int, default=8)
+    d.add_argument("--strategy", default="flat,edge,feature")
+    d.add_argument("--until-min", action="store_true")
+    d.add_argument("--gt", default=None)
+    d.add_argument("--fused", action="store_true")
+    d.add_argument("--window", type=int, default=512)
+    d.set_defaults(fn=cmd_denoise)
+
+    e = sub.add_parser("eval", help="CD/sCD/Hausdorff/Paper metrics")
+    e.add_argument("gt")
+    e.add_argument("input")
+    e.set_defaults(fn=cmd_eval)
+
+    m = sub.add_parser("make-dataset", help="generate patch shards")
+    m.add_argument("inputs", nargs="+")
+    m.add_argument("-o", "--output", required=True)
+    m.add_argument("--sample-points", type=int, default=None)
+    m.add_argument("--no-balance", action="store_true")
+    m.set_defaults(fn=cmd_make_dataset)
+
+    t = sub.add_parser("train", help="train Patch2Normal")
+    t.add_argument("dataset")
+    t.add_argument("-o", "--output", required=True)
+    t.add_argument("--epochs", type=int, default=100)
+    t.add_argument("--batch-size", type=int, default=64)
+    t.set_defaults(fn=cmd_train)
+
+    pr = sub.add_parser("predict-normals", help="learned normal regression")
+    pr.add_argument("input")
+    pr.add_argument("-o", "--output", required=True)
+    pr.add_argument("--ckpt", default=None)
+    pr.set_defaults(fn=cmd_predict_normals)
+
+    dm = sub.add_parser("denoise-mesh", help="guided normal filtering")
+    dm.add_argument("input")
+    dm.add_argument("-o", "--output", required=True)
+    dm.add_argument("--gt", default=None)
+    dm.add_argument("--normal-iterations", type=int, default=12)
+    dm.add_argument("--vertex-iterations", type=int, default=16)
+    dm.add_argument("--error-map", action="store_true")
+    dm.set_defaults(fn=cmd_denoise_mesh)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -233,7 +233,7 @@ def _edge_tile(ctx: _TileCtx, s6, b_nv, d_thr, alpha, y):
     jax.jit,
     static_argnames=(
         "cfg", "strategy", "iterations", "tile", "window", "group",
-        "threshold_method",
+        "threshold_method", "threshold_refresh",
     ),
 )
 def fused_denoise(
@@ -247,12 +247,22 @@ def fused_denoise(
     window: int = 512,
     group: int = 4,
     threshold_method: str = "exact",
+    threshold_refresh: int = 1,
+    threshold_slack: float = 1.05,
 ):
     """Windowed equivalent of core.pipeline.denoise.
 
     Returns (points, normals, classes) in ORIGINAL point order.
     ``window`` is the one-sided Morton-index search radius; windows of
     at least the cloud size make the neighbor sets exact.
+
+    ``threshold_refresh``: recompute the per-point k-th-distance
+    thresholds every n iterations (1 = every iteration, exact kNN
+    semantics). 0 computes them once on the noisy input and reuses them
+    scaled by ``threshold_slack`` — the k-th selection is by far the
+    most expensive reduction, and reuse mirrors the reference, whose
+    KD-tree is built ONCE on the noisy positions and queried against
+    moving points for the whole run (Selector.py:141).
     """
     iters = cfg.iterations if iterations is None else iterations
     n_in = points.shape[0]
@@ -321,19 +331,22 @@ def fused_denoise(
     )
 
     def one_iteration(carry, _):
-        pos, nrm = carry
+        pos, nrm, rk_feat0, rk_step0 = carry
 
-        # ---- pass A: NVT1 + VU smoothing -> f_n; also the per-point
-        # k-th-distance thresholds, computed ONCE and reused by passes
-        # B/C/D (positions do not move within an iteration, so the
-        # thresholds are identical — this drops three of the four top-k
-        # sweeps per iteration).
+        # ---- pass A: NVT1 + VU smoothing -> f_n. The per-point
+        # k-th-distance thresholds are recomputed here every
+        # ``threshold_refresh`` iterations and reused by passes B/C/D
+        # (positions do not move within an iteration) — and across
+        # iterations in stale-threshold mode.
         def pass_a(t, off, tl, wn):
-            tp, tn = tl
-            wp, wnm = wn
+            tp, tn, trk, trk8 = tl
+            wp, wnm, _, _ = wn
             d = _dist_tile(tp, wp, off + col_of < nv)
-            rk = _kth_smallest(d, cfg.feature_k, threshold_method)
-            rk8 = _kth_smallest(d, cfg.step_k, threshold_method)
+            if threshold_refresh:
+                rk = _kth_smallest(d, cfg.feature_k, threshold_method)
+                rk8 = _kth_smallest(d, cfg.step_k, threshold_method)
+            else:
+                rk, rk8 = trk, trk8
             mk = (d <= rk[:, None]) & (d < _INF)
             dec = _nvt_tile(tp, wp, wnm, d, mk, cfg.angle)
             f = voting.vu_smoothed_normals(
@@ -341,7 +354,7 @@ def fused_denoise(
             )
             return f, rk, rk8
 
-        f_n, rk_feat, rk_step = tiles(pass_a, pos, nrm)
+        f_n, rk_feat, rk_step = tiles(pass_a, pos, nrm, rk_feat0, rk_step0)
         f_n = f_n.reshape(n, 3)
         rk_feat = rk_feat.reshape(n)
         rk_step = rk_step.reshape(n)
@@ -446,10 +459,30 @@ def fused_denoise(
         # Keep padding rows pinned.
         row = jnp.arange(n)
         new_pos = jnp.where((row < nv)[:, None], new_pos, pos)
-        return (new_pos, f_n), cls
+        return (new_pos, f_n, rk_feat, rk_step), cls
 
-    (pos, nrm_out), cls_hist = jax.lax.scan(
-        one_iteration, (sc.pos, sc.nrm), None, length=iters
+    if threshold_refresh:
+        rk_feat0 = jnp.zeros(n, jnp.float32)
+        rk_step0 = jnp.zeros(n, jnp.float32)
+    else:
+        # Stale-threshold mode: one k-th-distance sweep on the noisy
+        # input, inflated by the slack so the moving points keep at
+        # least ~k neighbors inside.
+        def thr_pass(t, off, tl, wn):
+            (tp,) = tl
+            (wp,) = wn
+            d = _dist_tile(tp, wp, off + col_of < nv)
+            rk = _kth_smallest(d, cfg.feature_k, threshold_method)
+            rk8 = _kth_smallest(d, cfg.step_k, threshold_method)
+            return rk, rk8
+
+        rk_feat0, rk_step0 = tiles(thr_pass, sc.pos)
+        rk_feat0 = rk_feat0.reshape(n) * threshold_slack
+        rk_step0 = rk_step0.reshape(n) * threshold_slack
+
+    (pos, nrm_out, _, _), cls_hist = jax.lax.scan(
+        one_iteration, (sc.pos, sc.nrm, rk_feat0, rk_step0), None,
+        length=iters,
     )
     final_cls = cls_hist[-1]
 

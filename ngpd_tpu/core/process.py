@@ -1,0 +1,107 @@
+"""High-level processing APIs — the remaining Processor surface.
+
+Covers the reference entry points not already owned by pipeline.py:
+  * radius selections (Selector.getPointsInRangeSelection,
+    Selector.py:214-233) as kNN + distance mask;
+  * getVUDecomposition (Processor.py:83-100);
+  * getMartinFeatureDecomposition (Processor.py:102-108);
+  * getMDFeatures (Processor.py:35-38);
+  * preprocessPointcloud (Processor.py:187-199).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PatchConfig
+from ..ops import metrics
+from ..ops.knn import knn
+from ..ops.neighbors import Neighborhood
+from . import noise as noise_mod
+from . import voting
+from .normals import orient_normals, pvt_normals
+from .patches import md_selection
+
+
+def radius_neighborhood(
+    points: jnp.ndarray,
+    radius: jnp.ndarray,
+    k_cap: int = 64,
+    num_valid: Optional[jnp.ndarray] = None,
+) -> Neighborhood:
+    """All points within ``radius`` (scalar or per-point), capped at the
+    k_cap nearest — the static-shape replacement for the KD-tree ball
+    query (Selector.py:214-233). Points beyond the cap are dropped
+    (choose k_cap generously for the density at hand)."""
+    nbh, d = knn(points, k_cap, num_valid=num_valid)
+    r2 = jnp.broadcast_to(jnp.asarray(radius) ** 2, (points.shape[0],))
+    return nbh.and_mask(d <= r2[:, None])
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def vu_decomposition(
+    points: jnp.ndarray, normals: jnp.ndarray, k_cap: int = 64
+):
+    """getVUDecomposition (Processor.py:83-100): radius selection at
+    r = 2 * mean 6-NN edge length, NormalFilteredNVT(rho=0.95) ->
+    VU-smoothed normals (tau=0.3, d=3) -> NormalFilteredPVT."""
+    nbh6, _ = knn(points, 6, exclude_self=True)
+    r = 2.0 * metrics.average_edge_length(points, nbh6)
+    sel = radius_neighborhood(points, r, k_cap)
+    nvt = voting.normal_filtered_nvt(sel, normals, rho=0.95)
+    filtered = voting.vu_smoothed_normals(nvt, normals, tau=0.3, damping=3.0)
+    return voting.normal_filtered_pvt(points, sel, filtered, rho=0.95)
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def martin_feature_decomposition(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    r: jnp.ndarray,
+    rho: float = 0.9,
+    k_cap: int = 64,
+):
+    """getMartinFeatureDecomposition (Processor.py:102-108)."""
+    sel = radius_neighborhood(points, r, k_cap)
+    nvt = voting.normal_filtered_nvt(sel, normals, rho)
+    filtered = voting.vu_smoothed_normals(nvt, normals)
+    dec = voting.normal_filtered_pvt(points, sel, filtered, rho)
+    return dec, filtered
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def md_features(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    cfg: PatchConfig = PatchConfig(),
+) -> jnp.ndarray:
+    """getMDFeatures (Processor.py:35-38): MD-selection voting tensor ->
+    eigenvalue-threshold classes {0: none, 1: flat, 2: edge, 3: corner}."""
+    nbh, mass, _ = md_selection(points, cfg)
+    dec, _ = voting.md_transformation(points, nbh, normals, mass)
+    return voting.md_features(dec)
+
+
+def preprocess_pointcloud(
+    key: jax.Array,
+    points: jnp.ndarray,
+    k: int = 12,
+    noise_level: float = 0.3,
+):
+    """preprocessPointcloud (Processor.py:187-199): estimate normals on
+    the clean cloud, corrupt it (stdev = noise_level * mean edge length),
+    then re-estimate + orient normals on the noisy cloud.
+
+    Returns (noisy_points, noisy_normals, gt_normals).
+    """
+    nbh, _ = knn(points, k, exclude_self=True)
+    gt_n = pvt_normals(points, nbh)  # un-flipped, like flip=False
+    mel = metrics.average_edge_length(points, nbh)
+    noisy = noise_mod.generate_noise(key, points, gt_n, noise_level, mel)
+    nbh2, _ = knn(noisy, k, exclude_self=True)
+    noisy_n = orient_normals(noisy, pvt_normals(noisy, nbh2), nbh2)
+    return noisy, noisy_n, gt_n

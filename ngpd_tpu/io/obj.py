@@ -67,10 +67,21 @@ def _parse_faces(face_lines: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return fv_arr.astype(np.int32), fn_arr.astype(np.int32)
 
 
-def read_obj(file_path: str | Path) -> ObjData:
-    """Parse an .obj file into raw arrays."""
+def read_obj(file_path: str | Path, use_native: bool = True) -> ObjData:
+    """Parse an .obj file into raw arrays.
+
+    Uses the C++ parser (ngpd_tpu/native) when buildable — ~20x the
+    Python path on 1M-line files — with a transparent numpy fallback.
+    """
     path = Path(file_path)
     assert path.is_file(), path
+    if use_native:
+        from ..native import native_read_obj
+
+        parsed = native_read_obj(path)
+        if parsed is not None:
+            v, vn, fv, fn = parsed
+            return ObjData(v=v, vn=vn, fv=fv, fn=fn)
     v_buf, vn_buf, f_lines = [], [], []
     with open(path, "r", errors="replace") as f:
         for line in f:

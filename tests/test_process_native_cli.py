@@ -1,0 +1,137 @@
+"""Processor-level APIs, native module, CLI, and viz smoke tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ngpd_tpu.core import process
+from ngpd_tpu.io.obj import save_obj
+
+from fixtures import plane_grid, sphere_cloud
+
+
+def test_radius_neighborhood():
+    pts, _ = plane_grid(10, spacing=1.0)
+    nbh = process.radius_neighborhood(jnp.asarray(pts), 1.5, k_cap=16)
+    d = np.linalg.norm(pts[np.asarray(nbh.idx)] - pts[:, None, :], axis=-1)
+    m = np.asarray(nbh.mask)
+    assert (d[m] <= 1.5 + 1e-5).all()
+    # Interior points: self + 4 direct + 4 diagonal = 9.
+    deg = m.sum(1)
+    assert deg.max() == 9
+
+
+def test_vu_and_martin_decompositions():
+    pts, nrm = sphere_cloud(300, seed=1)
+    dec = process.vu_decomposition(jnp.asarray(pts), jnp.asarray(nrm))
+    assert np.isfinite(np.asarray(dec.eigval)).all()
+    dec2, filtered = process.martin_feature_decomposition(
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(0.5)
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(filtered), axis=1), 1.0, atol=1e-4
+    )
+
+
+def test_md_features_plane_flat():
+    pts, nrm = plane_grid(14)
+    from ngpd_tpu.config import PatchConfig
+
+    md = np.asarray(
+        process.md_features(
+            jnp.asarray(pts), jnp.asarray(nrm), PatchConfig(num_nodes=24)
+        )
+    )
+    # A flat plane: interior points classify as flat (1).
+    assert (md == 1).mean() > 0.8, (md == 1).mean()
+
+
+def test_preprocess_pointcloud():
+    pts, _ = sphere_cloud(400, seed=2)
+    noisy, noisy_n, gt_n = process.preprocess_pointcloud(
+        jax.random.PRNGKey(0), jnp.asarray(pts), noise_level=0.3
+    )
+    moved = np.abs(np.asarray(noisy) - pts).sum()
+    assert moved > 0
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(noisy_n), axis=1), 1.0, atol=1e-4
+    )
+
+
+def test_native_obj_parity(tmp_path):
+    from ngpd_tpu.native import native_read_obj
+
+    pts, nrm = sphere_cloud(100, seed=3)
+    p = tmp_path / "c.obj"
+    save_obj(p, pts, nrm)
+    parsed = native_read_obj(p)
+    if parsed is None:
+        pytest.skip("no C++ toolchain")
+    v, vn, fv, fn = parsed
+    np.testing.assert_allclose(v, pts, atol=1e-5)
+    np.testing.assert_allclose(vn, nrm, atol=1e-5)
+
+
+def test_native_grid_knn_oracle():
+    from ngpd_tpu.native import native_grid_knn
+
+    pts = sphere_cloud(1500, seed=4)[0]
+    out = native_grid_knn(pts, 8)
+    if out is None:
+        pytest.skip("no C++ toolchain")
+    idx, d = out
+    dmat = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    want = np.sort(dmat, axis=1)[:, :8]
+    np.testing.assert_allclose(np.sort(d, 1), want, atol=1e-5)
+
+
+def test_cli_eval_and_denoise(tmp_path):
+    pts, nrm = plane_grid(18)
+    rng = np.random.default_rng(6)
+    noisy = pts + nrm * rng.normal(scale=0.3, size=(len(pts), 1)).astype(
+        np.float32
+    )
+    gt_p = tmp_path / "gt.obj"
+    in_p = tmp_path / "in.obj"
+    out_p = tmp_path / "out.obj"
+    save_obj(gt_p, pts)
+    save_obj(in_p, noisy, nrm)
+
+    from ngpd_tpu.apps.cli import main
+
+    main(["denoise", str(in_p), "-o", str(out_p), "--iterations", "2"])
+    assert out_p.exists()
+    # Denoised CD beats noisy CD.
+    from ngpd_tpu.io.obj import load_obj
+    from ngpd_tpu.ops import metrics
+
+    out_cloud = load_obj(out_p)
+    cd_out = float(
+        jnp.mean(metrics.chamfer_distance(out_cloud.points, jnp.asarray(pts)))
+    )
+    cd_in = float(
+        jnp.mean(metrics.chamfer_distance(jnp.asarray(noisy), jnp.asarray(pts)))
+    )
+    assert cd_out < cd_in
+
+    main(["eval", str(gt_p), str(out_p)])
+
+
+def test_viz_outputs(tmp_path):
+    from ngpd_tpu.apps import viz
+
+    pts, nrm = sphere_cloud(200, seed=7)
+    p1 = viz.plot_cloud(pts, normals=nrm, out=tmp_path / "c.png")
+    assert p1.exists() and p1.stat().st_size > 1000
+    cls = np.random.default_rng(0).integers(0, 3, len(pts))
+    p2 = viz.plot_classes(pts, cls, out=tmp_path / "cls.png")
+    assert p2.exists()
+    eigval = np.abs(np.random.default_rng(1).normal(size=(len(pts), 3)))
+    eigvec = np.tile(np.eye(3), (len(pts), 1, 1))
+    p3 = viz.plot_tensor_voting(pts, eigval, eigvec, out=tmp_path / "tv.png")
+    assert p3.exists()
