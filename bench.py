@@ -42,11 +42,13 @@ def make_cloud(n: int, seed: int = 0):
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ngpd_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     import jax
     import jax.numpy as jnp
 
     from ngpd_tpu.config import DenoiseConfig
-    from ngpd_tpu.core.pipeline import denoise
+    from ngpd_tpu.core.fused import fused_denoise
 
     platform = jax.devices()[0].platform
     default_n = 1_000_000 if platform != "cpu" else 20_000
@@ -59,7 +61,13 @@ def main():
     nrm = jnp.asarray(nrm_np)
 
     cfg = DenoiseConfig(feature_k=k, step_k=8)
-    run = lambda: denoise(pts, nrm, cfg, iterations=iters)
+    # Fused Morton-window engine, stale-threshold mode (matches the
+    # reference's frozen-KD-tree neighbor semantics, Selector.py:141).
+    run = lambda: fused_denoise(
+        pts, nrm, cfg, iterations=iters,
+        tile=512, window=128, group=16,
+        threshold_method="approx", threshold_refresh=0,
+    )
 
     # Warm-up compile.
     out, _, _ = run()
