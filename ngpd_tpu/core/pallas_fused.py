@@ -1,0 +1,687 @@
+"""Pallas fused denoise — the speed-of-light iteration on TPU.
+
+core/fused.py already removed every random gather by reformulating the
+pipeline over Morton windows, but in XLA each (T, W_t) intermediate
+materializes in HBM between fusions (~20 GB of tile traffic per pass at
+1M points). These kernels keep the entire per-tile computation in VMEM:
+HBM traffic collapses to the packed window streams (~50x less), and the
+per-pass cost drops to the VPU/MXU floor.
+
+Same four-pass structure and identical math as fused.py (which is
+parity-tested against the reference pipeline); neighbor thresholds are
+the stale-mode per-point k-th distances (computed once on the noisy
+input — matching the reference's KD-tree frozen at noisy positions,
+Selector.py:141).
+
+Layout contract (everything SoA, component rows over the point axis):
+  GQ (16, N): 0-2 p | 3 one | 4 |p|^2 | 5-7 n | 8 rk_feat | 9 rk_step
+  GR (24, N): 0-2 -2p | 3 |p|^2 | 4 one | 5-7 n | 8 p.n | 9-14 sym6(n)
+              | 15-17 p
+  so the distance tile is ONE MXU contraction:
+  d = GQ[0:5]^T @ GR[0:5] = |q|^2 + |p|^2 - 2 q.p, and every neighbor
+  sum is dot(weights (T, W_t), GR rows (R, W_t)).
+Window starts are 128-aligned (pl.multiple_of) for legal dynamic DMA;
+Mosaic has no acos, so the eigensolver runs with the Hastings
+polynomial (ops/fastmath.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DenoiseConfig
+from ..ops.eigh3 import eigh3x3_components
+from ..ops.fastmath import acos_poly
+from ..ops.morton import morton_sort, unsort
+from ..ops.solve3 import solve3x3_components
+from .pipeline import DEFAULT_STRATEGY
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Component-math helpers (all elementwise on (T,) arrays)
+# ---------------------------------------------------------------------------
+
+
+def _dot_c(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _norm_c(a):
+    return jnp.sqrt(jnp.maximum(_dot_c(a, a), 0.0))
+
+
+def _vu_smooth_c(w, v, n, tau, damping):
+    """VU-smoothed normals, component form (Decompositionor.py:92-106)."""
+    acc = [damping * n[c] for c in range(3)]
+    for i in range(3):
+        keep = w[i] > tau
+        proj = _dot_c(v[i], n)
+        for c in range(3):
+            acc[c] = acc[c] + jnp.where(keep, proj * v[i][c], 0.0)
+    inv = 1.0 / jnp.maximum(_norm_c(acc), 1e-12)
+    return tuple(a * inv for a in acc)
+
+
+def _classes_c(w, scale):
+    """argmax of [scale*planarity, linearity, sphericity]
+    (Decompositionor.py:65-69), first-max-wins like torch argmax."""
+    lam1, lam2, lam3 = w[2], w[1], w[0]
+    safe = jnp.where(jnp.abs(lam1) > 1e-30, lam1, 1e-30)
+    plan = (lam1 - lam2) / safe * scale
+    lin = (lam2 - lam3) / safe
+    sph = lam3 / safe
+    cls = jnp.zeros_like(plan)
+    best = plan
+    cls = jnp.where(lin > best, 1.0, cls)
+    best = jnp.maximum(best, lin)
+    cls = jnp.where(sph > best, 2.0, cls)
+    return cls
+
+
+# ---------------------------------------------------------------------------
+# In-kernel tile primitives
+# ---------------------------------------------------------------------------
+
+
+def _mmT(a, b):
+    """(R, T) x (R, W) -> (T, W) contraction over the component rows."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), precision=_HI,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _wsum(w, row):
+    """(T, W) x (W,) -> (T,): one weighted window-column sum (VPU lane
+    reduce; Mosaic cannot lane-slice small MXU dot outputs)."""
+    return jnp.sum(w * row[None, :], axis=1)
+
+
+def _wsum_rows(w, rows, count):
+    return tuple(_wsum(w, rows[r]) for r in range(count))
+
+
+def _dist(tq, wr):
+    return jnp.maximum(_mmT(tq[0:5], wr[0:5]), 0.0)
+
+
+def _col_valid(off, nv, wt):
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, wt), 1)
+    return (off + j) < nv
+
+
+def _nvt_eigh(tq, wr, d, mask_k, cos_rho):
+    """Filtered NVT + eigendecomposition on one tile
+    (fused.py _nvt_tile, component output)."""
+    cross = _mmT(tq[0:3], wr[5:8])  # p_i . n_j
+    num = jnp.abs(wr[8][None, :] - cross)
+    cosang = num * jax.lax.rsqrt(jnp.maximum(d, 1e-24))
+    wf0 = ((cosang < cos_rho) & mask_k).astype(jnp.float32)
+    mkf = mask_k.astype(jnp.float32)
+    wsum0 = jnp.sum(wf0, axis=1, keepdims=True)
+    # Zero-weight rescue; f32 select (Mosaic cannot select bools with a
+    # broadcast predicate).
+    wf = jnp.where(wsum0 == 0.0, mkf, wf0)
+    wsum = jnp.maximum(jnp.sum(wf, axis=1), 1.0)  # (T,)
+    t6 = tuple(_wsum(wf, wr[9 + r]) / wsum for r in range(6))
+    return eigh3x3_components(*t6, acos_fn=acos_poly)
+
+
+def _dma_in(refs_slices, scratches, sems):
+    copies = [
+        pltpu.make_async_copy(src, dst, sems.at[i])
+        for i, (src, dst) in enumerate(zip(refs_slices, scratches))
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+
+# ---------------------------------------------------------------------------
+# Pass kernels
+# ---------------------------------------------------------------------------
+
+
+def _make_pass_a(t_sz, wt, nv_total, cfg: DenoiseConfig):
+    import math
+
+    cos_rho = math.cos(cfg.angle)
+
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, out_ref, tq_s, wr_s, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        _dma_in(
+            (gq_ref.at[:, pl.ds(t * t_sz, t_sz)], gr_ref.at[:, pl.ds(off, wt)]),
+            (tq_s, wr_s),
+            sems,
+        )
+        tq, wr = tq_s[...], wr_s[...]
+        d = _dist(tq, wr)
+        d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
+        rkf = jnp.transpose(tq[8:9, :])  # (T, 1)
+        mk = (d <= rkf) & (d < 1e30)
+        w, v = _nvt_eigh(tq, wr, d, mk, cos_rho)
+        n_i = (tq[5], tq[6], tq[7])
+        f = _vu_smooth_c(w, v, n_i, cfg.vu_tau, cfg.vu_damping)
+        out = jnp.concatenate(
+            [f[0][None, :], f[1][None, :], f[2][None, :],
+             jnp.zeros((5, t_sz), jnp.float32)],
+            axis=0,
+        )
+        out_ref[...] = out
+
+    return kernel
+
+
+def _make_pass_b(t_sz, wt, cfg: DenoiseConfig, needs_delta):
+    import math
+
+    cos_rho = math.cos(cfg.angle)
+
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, cls_ref, part_ref,
+               tq_s, wr_s, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        _dma_in(
+            (gq_ref.at[:, pl.ds(t * t_sz, t_sz)], gr_ref.at[:, pl.ds(off, wt)]),
+            (tq_s, wr_s),
+            sems,
+        )
+        tq, wr = tq_s[...], wr_s[...]
+        d = _dist(tq, wr)
+        d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
+        rkf = jnp.transpose(tq[8:9, :])
+        mk = (d <= rkf) & (d < 1e30)
+        w, v = _nvt_eigh(tq, wr, d, mk, cos_rho)
+        cls = _classes_c(w, cfg.class_scale)
+        edge = v[0]  # smallest-eigenvalue eigenvector
+
+        out = jnp.concatenate(
+            [cls[None, :], edge[0][None, :], edge[1][None, :],
+             edge[2][None, :], jnp.zeros((4, t_sz), jnp.float32)],
+            axis=0,
+        )
+        cls_ref[...] = out
+
+        # Delta mean partials per class needing one.
+        rk8 = jnp.transpose(tq[9:10, :])
+        m8 = ((d <= rk8) & (d < 1e30)).astype(jnp.float32)
+        row_valid = (
+            t * t_sz + jax.lax.broadcasted_iota(jnp.int32, (t_sz, 1), 0)
+        ) < nv
+        # Per-tile scalars are encoded in lane 0 of a (16, T) block
+        # (Mosaic requires lane-dim blocks of 128+; the XLA glue reads
+        # parts.reshape(16, num_tiles, T)[..., 0]).
+        lane0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, t_sz), 1) == 0
+        ).astype(jnp.float32)
+        rows = []
+        for c in needs_delta:
+            mrow = jnp.where(
+                (cls[:, None] == float(c)) & row_valid, 1.0, 0.0
+            )
+            mc = m8 * mrow  # (T, W)
+            # Full-reduce per component (lane-sliced reduces of a dot
+            # output hit Mosaic's "offset change" limitation).
+            for comp in range(3):
+                rows.append(jnp.sum(mc * wr[15 + comp][None, :]) * lane0)
+            rows.append(jnp.sum(mc) * lane0)
+        while len(rows) < 16:
+            rows.append(jnp.zeros((1, t_sz), jnp.float32))
+        part_ref[...] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+def _make_pass_c(t_sz, wt, cfg: DenoiseConfig, needs_delta):
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, cls_in_ref, scal_ref,
+               maxp_ref, tq_s, wr_s, tc_s, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        _dma_in(
+            (
+                gq_ref.at[:, pl.ds(t * t_sz, t_sz)],
+                gr_ref.at[:, pl.ds(off, wt)],
+                cls_in_ref.at[:, pl.ds(t * t_sz, t_sz)],
+            ),
+            (tq_s, wr_s, tc_s),
+            sems,
+        )
+        tq, wr, tc = tq_s[...], wr_s[...], tc_s[...]
+        d = _dist(tq, wr)
+        d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
+        rk8 = jnp.transpose(tq[9:10, :])
+        m8 = (d <= rk8) & (d < 1e30)
+        row_valid = (
+            t * t_sz + jax.lax.broadcasted_iota(jnp.int32, (t_sz, 1), 0)
+        ) < nv
+        cls = tc[0]
+        lane0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, t_sz), 1) == 0
+        ).astype(jnp.float32)
+        rows = []
+        for ci, c in enumerate(needs_delta):
+            cen = (scal_ref[4 + ci, 0], scal_ref[4 + ci, 1], scal_ref[4 + ci, 2])
+            # ||p_j - cen||^2 per window col from pack rows.
+            dist2 = (
+                wr[3]
+                + (wr[0] * cen[0] + wr[1] * cen[1] + wr[2] * cen[2])
+                + (cen[0] ** 2 + cen[1] ** 2 + cen[2] ** 2)
+            )  # |p|^2 - 2 p.c + |c|^2  (rows 0-2 are already -2p)
+            m = m8 & (cls[:, None] == float(c)) & row_valid
+            masked = jnp.where(m, dist2[None, :], 0.0)
+            rows.append(jnp.max(masked) * lane0)
+        while len(rows) < 8:
+            rows.append(jnp.zeros((1, t_sz), jnp.float32))
+        maxp_ref[...] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+def _make_pass_d(t_sz, wt, cfg: DenoiseConfig, strategy, needs_delta):
+    alphas = cfg.alphas
+    delta_slot = {c: i for i, c in enumerate(needs_delta)}
+
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, cls_in_ref, scal_ref,
+               out_ref, tq_s, wr_s, tc_s, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        _dma_in(
+            (
+                gq_ref.at[:, pl.ds(t * t_sz, t_sz)],
+                gr_ref.at[:, pl.ds(off, wt)],
+                cls_in_ref.at[:, pl.ds(t * t_sz, t_sz)],
+            ),
+            (tq_s, wr_s, tc_s),
+            sems,
+        )
+        tq, wr, tc = tq_s[...], wr_s[...], tc_s[...]
+        d = _dist(tq, wr)
+        d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
+        rk8 = jnp.transpose(tq[9:10, :])
+        m8f = ((d <= rk8) & (d < 1e30)).astype(jnp.float32)
+
+        d_thr = scal_ref[0, 0]
+        p_i = (tq[0], tq[1], tq[2])
+        n_i = (tq[5], tq[6], tq[7])
+        cls = tc[0]
+
+        deg = jnp.sum(m8f, axis=1)  # (T,)
+        s6 = _wsum_rows(m8f, wr[9:15], 6)  # 6 x (T,)
+        # n (n.p) window rows built in-register.
+        nnv = wr[5:8] * wr[8][None, :]  # (3, W)
+        b_nv = _wsum_rows(m8f, nnv, 3)  # 3 x (T,)
+        sv = _wsum_rows(m8f, wr[15:18], 3)
+        pdotn = _mmT(tq[0:3], wr[5:8])  # (T, W) p_i . n_j
+        dotj = wr[8][None, :] - pdotn  # n_j . (p_j - p_i)
+
+        def srow(t6):
+            return (
+                (t6[0], t6[1], t6[2]),
+                (t6[1], t6[3], t6[4]),
+                (t6[2], t6[4], t6[5]),
+            )
+
+        def clamp(opt, alpha, strict=True):
+            di = tuple((o - p) * alpha for o, p in zip(opt, p_i))
+            nrm = _norm_c(di)
+            ok = nrm < d_thr if strict else nrm <= d_thr
+            return tuple(
+                jnp.where(ok, p + dd, p) for p, dd in zip(p_i, di)
+            )
+
+        def three_term(s6_w, b_nv_w, sv_w):
+            """feature/new system (Denoiser.py:144-162); deg stays raw."""
+            nio = (
+                (n_i[0] * n_i[0], n_i[0] * n_i[1], n_i[0] * n_i[2]),
+                (n_i[0] * n_i[1], n_i[1] * n_i[1], n_i[1] * n_i[2]),
+                (n_i[0] * n_i[2], n_i[1] * n_i[2], n_i[2] * n_i[2]),
+            )
+            sr = srow(s6_w)
+            rows = tuple(
+                tuple(
+                    (1.0 if a == b else 0.0)
+                    + nio[a][b] * (1.0 + deg)
+                    + sr[a][b]
+                    for b in range(3)
+                )
+                for a in range(3)
+            )
+            niv = _dot_c(nio[0], p_i), _dot_c(nio[1], p_i), _dot_c(nio[2], p_i)
+            nisv = _dot_c(nio[0], sv_w), _dot_c(nio[1], sv_w), _dot_c(nio[2], sv_w)
+            b = tuple(
+                p_i[c] + niv[c] + nisv[c] + b_nv_w[c] for c in range(3)
+            )
+            opt, _ = solve3x3_components(rows, b, p_i)
+            return opt
+
+        results = {}
+        for cid in range(3):
+            name = strategy[cid]
+            key = cid  # alphas are per-class; never share across classes
+            if name == "flat":
+                delta = scal_ref[1 + delta_slot[cid], 0]
+                d2 = jnp.maximum(delta * delta, 1e-30)
+                ninj = _mmT(tq[5:8], wr[5:8])
+                sim = jnp.exp(-16.0 * (2.0 - 2.0 * ninj) / d2)
+                close = jnp.exp(-4.0 * jnp.where(d < 1e30, d, 0.0) / d2)
+                wb = sim * close * m8f
+                num = jnp.sum(wb * dotj, axis=1)
+                wsum = jnp.maximum(jnp.sum(wb, axis=1), 1e-30)
+                scalef = num / wsum * alphas[cid]
+                di = tuple(scalef * n for n in n_i)
+                nrm = _norm_c(di)
+                results[key] = tuple(
+                    jnp.where(nrm <= d_thr, p + dd, p)
+                    for p, dd in zip(p_i, di)
+                )
+            elif name == "edge":
+                y = (tc[1], tc[2], tc[3])
+                ny = _mmT(tc[1:4], wr[5:8])  # (T, W) n_j . y_i
+                py = _mmT(tc[1:4], wr[15:18])  # (T, W) p_j . y_i
+                q_yy = _wsum_rows(m8f * ny * py, wr[5:8], 3)
+                sr = srow(s6)
+                sy = tuple(_dot_c(sr[a], y) for a in range(3))
+                ysy = _dot_c(sy, y)
+                rows = tuple(
+                    tuple(
+                        sr[a][b]
+                        - y[a] * sy[b]
+                        - sy[a] * y[b]
+                        + ysy * y[a] * y[b]
+                        + deg * y[a] * y[b]
+                        for b in range(3)
+                    )
+                    for a in range(3)
+                )
+                z = tuple(b_nv[c] - q_yy[c] for c in range(3))
+                yz = _dot_c(y, z)
+                yp = _dot_c(y, p_i)
+                b = tuple(
+                    z[c] - yz * y[c] + deg * yp * y[c] for c in range(3)
+                )
+                opt, _ = solve3x3_components(rows, b, p_i)
+                results[key] = clamp(opt, alphas[cid])
+            elif name == "corner":
+                opt, _ = solve3x3_components(srow(s6), b_nv, p_i)
+                results[key] = clamp(opt, alphas[cid])
+            elif name == "feature":
+                results[key] = clamp(three_term(s6, b_nv, sv), alphas[cid])
+            elif name == "new":
+                delta = scal_ref[1 + delta_slot[cid], 0]
+                d2 = jnp.maximum(delta * delta, 1e-30)
+                like = jnp.exp(-9.0 * dotj * dotj / d2) * m8f
+                s6w = _wsum_rows(like, wr[9:15], 6)
+                b_nvw = _wsum_rows(like, nnv, 3)
+                svw = _wsum_rows(like, wr[15:18], 3)
+                results[key] = clamp(
+                    three_term(s6w, b_nvw, svw), alphas[cid]
+                )
+            elif name == "dummy":
+                results[key] = p_i
+            else:
+                raise ValueError(name)
+
+        out = [results[0], results[1], results[2]]
+        new_p = tuple(
+            jnp.where(
+                cls == 0.0, out[0][c], jnp.where(cls == 1.0, out[1][c], out[2][c])
+            )
+            for c in range(3)
+        )
+        out_ref[...] = jnp.concatenate(
+            [new_p[0][None, :], new_p[1][None, :], new_p[2][None, :],
+             jnp.zeros((5, t_sz), jnp.float32)],
+            axis=0,
+        )
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+def _build_packs(pos, nrm):
+    """pos, nrm: (3, N) SoA rows -> (GQ (16,N), GR (24,N)) minus rk rows
+    (filled by the caller)."""
+    n = pos.shape[1]
+    one = jnp.ones((1, n), jnp.float32)
+    zero = jnp.zeros((1, n), jnp.float32)
+    p2 = jnp.sum(pos * pos, axis=0, keepdims=True)
+    pn = jnp.sum(pos * nrm, axis=0, keepdims=True)
+    sym6 = jnp.concatenate(
+        [
+            (nrm[0] * nrm[0])[None], (nrm[0] * nrm[1])[None],
+            (nrm[0] * nrm[2])[None], (nrm[1] * nrm[1])[None],
+            (nrm[1] * nrm[2])[None], (nrm[2] * nrm[2])[None],
+        ],
+        axis=0,
+    )
+    gq = jnp.concatenate(
+        [pos, one, p2, nrm, zero, zero, jnp.zeros((6, n), jnp.float32)], axis=0
+    )
+    gr = jnp.concatenate(
+        [-2.0 * pos, p2, one, nrm, pn, sym6, pos, jnp.zeros((6, n), jnp.float32)],
+        axis=0,
+    )
+    return gq, gr
+
+
+def _set_rk(gq, rk_feat, rk_step):
+    return gq.at[8].set(rk_feat).at[9].set(rk_step)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "strategy", "iterations", "tile", "window",
+        "threshold_method", "interpret",
+    ),
+)
+def pallas_denoise(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    cfg: DenoiseConfig = DenoiseConfig(),
+    strategy: tuple[str, str, str] = DEFAULT_STRATEGY,
+    iterations: Optional[int] = None,
+    num_valid: Optional[jnp.ndarray] = None,
+    tile: int = 256,
+    window: int = 128,
+    threshold_method: str = "approx",
+    threshold_slack: float = 1.05,
+    interpret: bool = False,
+):
+    """Pallas twin of fused.fused_denoise in stale-threshold mode.
+
+    Returns (points, normals, classes) in original order.
+    """
+    iters = cfg.iterations if iterations is None else iterations
+    n_in = points.shape[0]
+    nv = jnp.asarray(n_in if num_valid is None else num_valid, jnp.int32)
+
+    n = -(-n_in // tile) * tile
+    if n != n_in:
+        points = jnp.pad(points, ((0, n - n_in), (0, 0)))
+        normals = jnp.pad(normals, ((0, n - n_in), (0, 0)))
+    sc = morton_sort(points, normals, nv)
+
+    wt = min(tile + 2 * window, n)
+    num_tiles = n // tile
+    starts = jnp.clip(
+        jnp.arange(num_tiles, dtype=jnp.int32) * tile - window, 0, n - wt
+    )
+    meta = jnp.asarray([nv], jnp.int32)
+    needs_delta = tuple(c for c in range(3) if strategy[c] in ("flat", "new"))
+
+    # ---- one-time XLA prologue: d_thr and stale k-th thresholds --------
+    from .fused import _dist_tile, _kth_smallest
+
+    col_of = jnp.arange(wt, dtype=jnp.int32)
+
+    def prologue(t):
+        off = starts[t]
+        tp = jax.lax.dynamic_slice_in_dim(sc.pos, t * tile, tile)
+        wp = jax.lax.dynamic_slice_in_dim(sc.pos, off, wt)
+        d = _dist_tile(tp, wp, off + col_of < nv)
+        rkf = _kth_smallest(d, cfg.feature_k, threshold_method)
+        rk8 = _kth_smallest(d, cfg.step_k, threshold_method)
+        d6 = -jax.lax.top_k(-d, 6)[0]
+        dist6 = jnp.sqrt(jnp.where(jnp.isfinite(d6), d6, 0.0))
+        row_ok = (t * tile + jnp.arange(tile)) < nv
+        ssum = jnp.sum(jnp.where(row_ok[:, None], dist6, 0.0))
+        cnt = jnp.sum(row_ok) * 6
+        return rkf, rk8, ssum, cnt
+
+    rkf, rk8, ssums, cnts = jax.lax.map(
+        prologue, jnp.arange(num_tiles, dtype=jnp.int32)
+    )
+    rk_feat = rkf.reshape(n) * threshold_slack
+    rk_step = rk8.reshape(n) * threshold_slack
+    d_thr = cfg.d_scale * jnp.sum(ssums) / jnp.maximum(jnp.sum(cnts), 1)
+
+    # ---- pallas_call wrappers ------------------------------------------
+    def gridspec(n_in_specs, extra_scratch=()):
+        return pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in_specs,
+            out_specs=None,  # set per call
+            scratch_shapes=list(extra_scratch),
+        )
+
+    sem2 = pltpu.SemaphoreType.DMA((2,))
+    sem3 = pltpu.SemaphoreType.DMA((3,))
+    scr_tq = pltpu.VMEM((16, tile), jnp.float32)
+    scr_wr = pltpu.VMEM((24, wt), jnp.float32)
+    scr_tc = pltpu.VMEM((8, tile), jnp.float32)
+
+    pass_a = pl.pallas_call(
+        _make_pass_a(tile, wt, n, cfg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
+            scratch_shapes=[scr_tq, scr_wr, sem2],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        interpret=interpret,
+    )
+
+    pass_b = pl.pallas_call(
+        _make_pass_b(tile, wt, cfg, needs_delta),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=(
+                pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
+                pl.BlockSpec((16, tile), lambda t, *_: (0, t)),
+            ),
+            scratch_shapes=[scr_tq, scr_wr, sem2],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, n), jnp.float32),
+            jax.ShapeDtypeStruct((16, n), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    pass_c = pl.pallas_call(
+        _make_pass_c(tile, wt, cfg, needs_delta),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, 128), lambda t, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
+            scratch_shapes=[scr_tq, scr_wr, scr_tc, sem3],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        interpret=interpret,
+    )
+
+    pass_d = pl.pallas_call(
+        _make_pass_d(tile, wt, cfg, strategy, needs_delta),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, 128), lambda t, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
+            scratch_shapes=[scr_tq, scr_wr, scr_tc, sem3],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        interpret=interpret,
+    )
+
+    pos0 = sc.pos.T  # (3, N) SoA
+    nrm0 = sc.nrm.T
+
+    def one_iteration(carry, _):
+        pos, nrm = carry  # (3, N) each
+
+        gq, gr = _build_packs(pos, nrm)
+        gq = _set_rk(gq, rk_feat, rk_step)
+        fpack = pass_a(starts, meta, gq, gr)
+        f_n = fpack[0:3]  # (3, N)
+
+        gq2, gr2 = _build_packs(pos, f_n)
+        gq2 = _set_rk(gq2, rk_feat, rk_step)
+        cls_pack, parts = pass_b(starts, meta, gq2, gr2)
+
+        scal = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(d_thr)
+        if needs_delta:
+            # parts rows: per class ci: [psum(3), cnt] at 4ci..4ci+3;
+            # tile scalars live in lane 0 of each (16, T) block.
+            ptile = parts.reshape(16, num_tiles, tile)[:, :, 0]
+            for ci, _c in enumerate(needs_delta):
+                psum = jnp.sum(ptile[4 * ci : 4 * ci + 3], axis=1)
+                cnt = jnp.maximum(jnp.sum(ptile[4 * ci + 3]), 1.0)
+                center = psum / cnt
+                scal = scal.at[4 + ci, 0:3].set(center)
+            maxp = pass_c(starts, meta, gq2, gr2, cls_pack, scal)
+            mtile = maxp.reshape(8, num_tiles, tile)[:, :, 0]
+            for ci, _c in enumerate(needs_delta):
+                delta = jnp.sqrt(jnp.maximum(jnp.max(mtile[ci]), 0.0))
+                scal = scal.at[1 + ci, 0].set(delta)
+
+        newp = pass_d(starts, meta, gq2, gr2, cls_pack, scal)
+        new_pos = newp[0:3]
+        # Pin padding rows.
+        valid = (jnp.arange(n) < nv)[None, :]
+        new_pos = jnp.where(valid, new_pos, pos)
+        return (new_pos, f_n), cls_pack[0]
+
+    (pos_f, nrm_f), cls_hist = jax.lax.scan(
+        one_iteration, (pos0, nrm0), None, length=iters
+    )
+    out_pos = unsort(pos_f.T, sc.orig_idx)[:n_in]
+    out_nrm = unsort(nrm_f.T, sc.orig_idx)[:n_in]
+    out_cls = unsort(
+        cls_hist[-1].astype(jnp.int32)[:, None], sc.orig_idx
+    )[:n_in, 0]
+    return out_pos, out_nrm, out_cls

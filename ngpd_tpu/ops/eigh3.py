@@ -8,14 +8,19 @@ cross-product / deflation eigenvectors runs entirely on the VPU with no
 data-dependent iteration — exactly what XLA wants inside a scanned
 denoise body.
 
-Conventions match ``torch.linalg.eigh`` / ``jnp.linalg.eigh``:
-eigenvalues ascending, eigenvectors in COLUMNS (``v[..., :, i]`` pairs
-with ``w[..., i]``). Consumers that need descending order (getRInv,
-Decompositionor.py:108-127 sorts descending) re-sort explicitly.
+Two APIs:
+  * ``eigh3x3(A)`` — matrix-shaped, matches jnp.linalg.eigh conventions
+    (ascending eigenvalues, eigenvectors in columns);
+  * ``eigh3x3_components(a00, a01, a02, a11, a12, a22)`` — pure
+    elementwise on the six unique entries, returning eigenvalues and
+    eigenvector components as plain arrays. This form contains ONLY
+    +-*/, sqrt, trig, and `where` — it lowers inside Pallas/Mosaic
+    kernels, where (.., 3, 3)-shaped intermediates would be
+    tile-padded or unsupported (argmax/take_along_axis avoided).
 
 Algorithm: D. Eberly, "A Robust Eigensolver for 3x3 Symmetric Matrices"
-(public geometric-tools note); batched here with `where`-selected
-branches so the whole thing stays trace-friendly.
+(public geometric-tools note), with `where`-selected branches so the
+whole thing stays trace-friendly.
 """
 
 from __future__ import annotations
@@ -28,66 +33,74 @@ import jax.numpy as jnp
 _EPS = 1e-12
 
 
-def _cross(a, b):
-    return jnp.cross(a, b)
-
-
-def _evec_from_cross(B: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
-    """Eigenvector of B for eigenvalue lam via row cross products.
-
-    Rows of (B - lam I) span the orthogonal complement of the eigenspace;
-    the largest cross product of row pairs is a robust eigenvector
-    whenever lam is a simple eigenvalue.
-    """
-    C = B - lam[..., None, None] * jnp.eye(3, dtype=B.dtype)
-    r0, r1, r2 = C[..., 0, :], C[..., 1, :], C[..., 2, :]
-    c01, c02, c12 = _cross(r0, r1), _cross(r0, r2), _cross(r1, r2)
-    n01 = jnp.sum(c01 * c01, axis=-1)
-    n02 = jnp.sum(c02 * c02, axis=-1)
-    n12 = jnp.sum(c12 * c12, axis=-1)
-    best = jnp.stack([n01, n02, n12], axis=-1)
-    choice = jnp.argmax(best, axis=-1)
-    cand = jnp.stack([c01, c02, c12], axis=-2)  # (..., 3 cands, 3)
-    v = jnp.take_along_axis(cand, choice[..., None, None], axis=-2)[..., 0, :]
-    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    # Degenerate (repeated eigenvalue picked): fall back to e0; callers
-    # only hit this through the `where` branch that is then discarded.
-    return jnp.where(
-        n > _EPS,
-        v / jnp.maximum(n, _EPS),
-        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], B.dtype), v.shape),
+def _cross_c(a, b):
+    """Component cross product: a, b are 3-tuples of arrays."""
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
     )
 
 
-def _orthobasis(w: jnp.ndarray):
-    """Two unit vectors spanning the plane orthogonal to unit vector w."""
-    swap = jnp.abs(w[..., 0]) > jnp.abs(w[..., 1])
-    inv_xz = 1.0 / jnp.sqrt(
-        jnp.maximum(w[..., 0] ** 2 + w[..., 2] ** 2, _EPS)
-    )
-    inv_yz = 1.0 / jnp.sqrt(
-        jnp.maximum(w[..., 1] ** 2 + w[..., 2] ** 2, _EPS)
-    )
-    u_a = jnp.stack(
-        [-w[..., 2] * inv_xz, jnp.zeros_like(inv_xz), w[..., 0] * inv_xz], axis=-1
-    )
-    u_b = jnp.stack(
-        [jnp.zeros_like(inv_yz), w[..., 2] * inv_yz, -w[..., 1] * inv_yz], axis=-1
-    )
-    u = jnp.where(swap[..., None], u_a, u_b)
-    v = _cross(w, u)
+def _dot_c(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _norm2_c(a):
+    return _dot_c(a, a)
+
+
+def _normalize_c(a, eps=_EPS):
+    inv = 1.0 / jnp.sqrt(jnp.maximum(_norm2_c(a), eps))
+    return (a[0] * inv, a[1] * inv, a[2] * inv)
+
+
+def _select_c(cond, a, b):
+    return tuple(jnp.where(cond, x, y) for x, y in zip(a, b))
+
+
+def _evec_from_cross_c(rows, lam):
+    """Eigenvector for eigenvalue lam via the largest cross product of
+    rows of (B - lam I). rows: 3 row-tuples of component arrays."""
+    r0 = (rows[0][0] - lam, rows[0][1], rows[0][2])
+    r1 = (rows[1][0], rows[1][1] - lam, rows[1][2])
+    r2 = (rows[2][0], rows[2][1], rows[2][2] - lam)
+    c01, c02, c12 = _cross_c(r0, r1), _cross_c(r0, r2), _cross_c(r1, r2)
+    n01, n02, n12 = _norm2_c(c01), _norm2_c(c02), _norm2_c(c12)
+    # Pick the largest without argmax (where-chains only).
+    best12 = _select_c(n12 >= n02, c12, c02)
+    nbest12 = jnp.maximum(n12, n02)
+    v = _select_c(n01 >= nbest12, c01, best12)
+    nv = jnp.maximum(n01, nbest12)
+    v = _normalize_c(v)
+    one = jnp.ones_like(lam)
+    zero = jnp.zeros_like(lam)
+    return _select_c(nv > _EPS, v, (one, zero, zero))
+
+
+def _orthobasis_c(w):
+    swap = jnp.abs(w[0]) > jnp.abs(w[1])
+    inv_xz = 1.0 / jnp.sqrt(jnp.maximum(w[0] ** 2 + w[2] ** 2, _EPS))
+    inv_yz = 1.0 / jnp.sqrt(jnp.maximum(w[1] ** 2 + w[2] ** 2, _EPS))
+    zero = jnp.zeros_like(w[0])
+    u_a = (-w[2] * inv_xz, zero, w[0] * inv_xz)
+    u_b = (zero, w[2] * inv_yz, -w[1] * inv_yz)
+    u = _select_c(swap, u_a, u_b)
+    v = _cross_c(w, u)
     return u, v
 
 
-def _evec_deflated(B: jnp.ndarray, lam: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Eigenvector for lam constrained orthogonal to known eigenvector w."""
-    u, v = _orthobasis(w)
-    bu = jnp.einsum("...ij,...j->...i", B, u)
-    bv = jnp.einsum("...ij,...j->...i", B, v)
-    m00 = jnp.sum(u * bu, axis=-1) - lam
-    m01 = jnp.sum(u * bv, axis=-1)
-    m11 = jnp.sum(v * bv, axis=-1) - lam
-    # Null vector of [[m00, m01], [m01, m11]] from its larger row.
+def _matvec_c(rows, x):
+    return tuple(_dot_c(r, x) for r in rows)
+
+
+def _evec_deflated_c(rows, lam, w):
+    u, v = _orthobasis_c(w)
+    bu = _matvec_c(rows, u)
+    bv = _matvec_c(rows, v)
+    m00 = _dot_c(u, bu) - lam
+    m01 = _dot_c(u, bv)
+    m11 = _dot_c(v, bv) - lam
     use0 = jnp.abs(m00) >= jnp.abs(m11)
     c0 = jnp.where(use0, m01, m11)
     c1 = jnp.where(use0, -m00, -m01)
@@ -95,7 +108,72 @@ def _evec_deflated(B: jnp.ndarray, lam: jnp.ndarray, w: jnp.ndarray) -> jnp.ndar
     ok = norm > _EPS
     c0 = jnp.where(ok, c0 / jnp.maximum(norm, _EPS), 1.0)
     c1 = jnp.where(ok, c1 / jnp.maximum(norm, _EPS), 0.0)
-    return c0[..., None] * u + c1[..., None] * v
+    return tuple(c0 * ux + c1 * vx for ux, vx in zip(u, v))
+
+
+def eigh3x3_components(a00, a01, a02, a11, a12, a22, acos_fn=jnp.arccos):
+    """Eigendecomposition from the six unique entries (elementwise).
+
+    Returns ``(w, v)``: w = (lam0, lam1, lam2) ascending; v = tuple of
+    three eigenvector component-triples, v[i] pairing with w[i].
+
+    ``acos_fn``: pass ops.fastmath.acos_poly inside Pallas kernels
+    (Mosaic has no acos lowering).
+    """
+    scale = jnp.maximum(
+        jnp.maximum(
+            jnp.maximum(jnp.abs(a00), jnp.abs(a11)),
+            jnp.maximum(jnp.abs(a22), jnp.abs(a01)),
+        ),
+        jnp.maximum(jnp.abs(a02), jnp.abs(a12)),
+    )
+    safe = jnp.maximum(scale, _EPS)
+    b00, b01, b02 = a00 / safe, a01 / safe, a02 / safe
+    b11, b12, b22 = a11 / safe, a12 / safe, a22 / safe
+    rows = ((b00, b01, b02), (b01, b11, b12), (b02, b12, b22))
+
+    q = (b00 + b11 + b22) / 3.0
+    d00, d11, d22 = b00 - q, b11 - q, b22 - q
+    p1 = b01 * b01 + b02 * b02 + b12 * b12
+    p2 = d00 * d00 + d11 * d11 + d22 * d22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.maximum(p, _EPS)
+    c00, c11, c22 = d00 / safe_p, d11 / safe_p, d22 / safe_p
+    c01, c02, c12 = b01 / safe_p, b02 / safe_p, b12 / safe_p
+    det_c = (
+        c00 * (c11 * c22 - c12 * c12)
+        - c01 * (c01 * c22 - c12 * c02)
+        + c02 * (c01 * c12 - c11 * c02)
+    )
+    r = jnp.clip(det_c / 2.0, -1.0, 1.0)
+    phi = acos_fn(r) / 3.0
+    lam_hi = q + 2.0 * p * jnp.cos(phi)
+    lam_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = 3.0 * q - lam_hi - lam_lo
+
+    from_hi = (lam_hi - lam_mid) >= (lam_mid - lam_lo)
+    v_hi_first = _evec_from_cross_c(rows, lam_hi)
+    v_lo_first = _evec_from_cross_c(rows, lam_lo)
+    v_first = _select_c(from_hi, v_hi_first, v_lo_first)
+    v_mid = _evec_deflated_c(rows, lam_mid, v_first)
+    v_third = _cross_c(v_first, v_mid)
+    v_lo = _select_c(from_hi, v_third, v_first)
+    v_hi = _select_c(from_hi, v_first, v_third)
+
+    # Isotropic / zero matrices: identity eigenvectors.
+    iso = p < 1e-6
+    one = jnp.ones_like(q)
+    zero = jnp.zeros_like(q)
+    v_lo = _select_c(iso, (one, zero, zero), v_lo)
+    v_mid = _select_c(iso, (zero, one, zero), v_mid)
+    v_hi = _select_c(iso, (zero, zero, one), v_hi)
+
+    nonzero = scale > 0
+    w = tuple(
+        jnp.where(nonzero, lam * safe, 0.0)
+        for lam in (lam_lo, lam_mid, lam_hi)
+    )
+    return w, (v_lo, v_mid, v_hi)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -106,55 +184,13 @@ def eigh3x3(A: jnp.ndarray):
     (..., 3, 3) as columns, like jnp.linalg.eigh — but closed-form.
     """
     A = 0.5 * (A + jnp.swapaxes(A, -1, -2))  # symmetrize defensively
-    dtype = A.dtype
-    scale = jnp.max(jnp.abs(A), axis=(-2, -1))
-    safe_scale = jnp.maximum(scale, _EPS)
-    B = A / safe_scale[..., None, None]
-
-    q = jnp.trace(B, axis1=-2, axis2=-1) / 3.0
-    b00 = B[..., 0, 0] - q
-    b11 = B[..., 1, 1] - q
-    b22 = B[..., 2, 2] - q
-    b01, b02, b12 = B[..., 0, 1], B[..., 0, 2], B[..., 1, 2]
-    p1 = b01 * b01 + b02 * b02 + b12 * b12
-    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
-    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
-    safe_p = jnp.maximum(p, _EPS)
-
-    Cm = (B - q[..., None, None] * jnp.eye(3, dtype=dtype)) / safe_p[..., None, None]
-    detC = jnp.linalg.det(Cm)
-    r = jnp.clip(detC / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-
-    lam_hi = q + 2.0 * p * jnp.cos(phi)
-    lam_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
-    lam_mid = 3.0 * q - lam_hi - lam_lo
-    w = jnp.stack([lam_lo, lam_mid, lam_hi], axis=-1)  # ascending
-
-    # Eigenvectors: start from whichever extreme eigenvalue is better
-    # separated from the middle one, deflate for the middle, cross for the
-    # remaining one. Both branches are computed and `where`-selected.
-    sep_hi = lam_hi - lam_mid
-    sep_lo = lam_mid - lam_lo
-    from_hi = sep_hi >= sep_lo
-
-    v_hi_first = _evec_from_cross(B, lam_hi)
-    v_lo_first = _evec_from_cross(B, lam_lo)
-    v_first = jnp.where(from_hi[..., None], v_hi_first, v_lo_first)
-    lam_first = jnp.where(from_hi, lam_hi, lam_lo)
-    del lam_first  # (documentational; v_first already encodes the choice)
-
-    v_mid = _evec_deflated(B, lam_mid, v_first)
-    v_third = _cross(v_first, v_mid)
-
-    v_lo = jnp.where(from_hi[..., None], v_third, v_first)
-    v_hi = jnp.where(from_hi[..., None], v_first, v_third)
-    v = jnp.stack([v_lo, v_mid, v_hi], axis=-1)  # columns, ascending order
-
-    # Isotropic (p ~ 0) or zero matrices: identity eigenvectors.
-    iso = (p < 1e-6)[..., None, None]
-    v = jnp.where(iso, jnp.eye(3, dtype=dtype), v)
-
-    w = w * safe_scale[..., None]
-    w = jnp.where(scale[..., None] > 0, w, jnp.zeros_like(w))
-    return w, v
+    w, v = eigh3x3_components(
+        A[..., 0, 0], A[..., 0, 1], A[..., 0, 2],
+        A[..., 1, 1], A[..., 1, 2], A[..., 2, 2],
+    )
+    eigval = jnp.stack(w, axis=-1)
+    # Columns: v[i] is the i-th eigenvector.
+    eigvec = jnp.stack(
+        [jnp.stack(vi, axis=-1) for vi in v], axis=-1
+    )
+    return eigval, eigvec

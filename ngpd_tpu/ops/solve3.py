@@ -32,6 +32,31 @@ def adjugate3(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def solve3x3_components(rows, b, fallback, rcond: float = 1e-7):
+    """Component form of solve3x3_guarded for Pallas kernels.
+
+    rows: 3 row-tuples of the symmetric matrix's component arrays;
+    b, fallback: component triples. Returns (x triple, ok mask).
+    """
+    (a, bb, c), (d, e, f), (g, h, i) = rows
+    det = a * (e * i - f * h) - bb * (d * i - f * g) + c * (d * h - e * g)
+    scale = jnp.abs(a)
+    for v in (bb, c, d, e, f, g, h, i):
+        scale = jnp.maximum(scale, jnp.abs(v))
+    ok = jnp.abs(det) > rcond * jnp.maximum(scale, 1e-30) ** 3
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    adj = (
+        (e * i - f * h, c * h - bb * i, bb * f - c * e),
+        (f * g - d * i, a * i - c * g, c * d - a * f),
+        (d * h - e * g, bb * g - a * h, a * e - bb * d),
+    )
+    x = tuple(
+        (r[0] * b[0] + r[1] * b[1] + r[2] * b[2]) * inv_det for r in adj
+    )
+    x = tuple(jnp.where(ok, xi, fi) for xi, fi in zip(x, fallback))
+    return x, ok
+
+
 def solve3x3_guarded(
     A: jnp.ndarray,
     b: jnp.ndarray,

@@ -1,0 +1,50 @@
+"""Pallas engine parity (interpret mode on CPU) + kernel-safe math."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ngpd_tpu.core.fused import fused_denoise
+from ngpd_tpu.core.pallas_fused import pallas_denoise
+from ngpd_tpu.ops.fastmath import acos_poly
+
+from fixtures import sphere_cloud
+
+
+def test_acos_poly_matches_arccos():
+    x = jnp.linspace(-1.0, 1.0, 4097)
+    got = np.asarray(acos_poly(x))
+    want = np.arccos(np.asarray(x))
+    np.testing.assert_allclose(got, want, atol=5e-7)
+
+
+def test_pallas_matches_fused_stale():
+    """The Pallas kernels reproduce the XLA fused engine exactly
+    (same math, same stale thresholds)."""
+    pts, nrm = sphere_cloud(256, seed=4)
+    rng = np.random.default_rng(5)
+    noisy = (pts + rng.normal(scale=0.03, size=pts.shape)).astype(np.float32)
+    want, _, wc = fused_denoise(
+        jnp.asarray(noisy), jnp.asarray(nrm), iterations=1,
+        tile=128, window=128, group=1,
+        threshold_method="exact", threshold_refresh=0,
+    )
+    got, _, gc = pallas_denoise(
+        jnp.asarray(noisy), jnp.asarray(nrm), iterations=1,
+        tile=128, window=128, threshold_method="exact", interpret=True,
+    )
+    assert (np.asarray(gc) == np.asarray(wc)).all()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5
+    )
+
+
+def test_pallas_all_strategies():
+    """corner/new/dummy paths also lower and run."""
+    pts, nrm = sphere_cloud(128, seed=6)
+    out, _, _ = pallas_denoise(
+        jnp.asarray(pts), jnp.asarray(nrm), iterations=1,
+        strategy=("new", "corner", "dummy"),
+        tile=128, window=64, threshold_method="exact", interpret=True,
+    )
+    assert np.isfinite(np.asarray(out)).all()
