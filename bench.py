@@ -49,6 +49,7 @@ def main():
 
     from ngpd_tpu.config import DenoiseConfig
     from ngpd_tpu.core.fused import fused_denoise
+    from ngpd_tpu.core.pallas_fused import pallas_denoise
 
     platform = jax.devices()[0].platform
     default_n = 1_000_000 if platform != "cpu" else 20_000
@@ -61,13 +62,23 @@ def main():
     nrm = jnp.asarray(nrm_np)
 
     cfg = DenoiseConfig(feature_k=k, step_k=8)
-    # Fused Morton-window engine, stale-threshold mode (matches the
-    # reference's frozen-KD-tree neighbor semantics, Selector.py:141).
-    run = lambda: fused_denoise(
-        pts, nrm, cfg, iterations=iters,
-        tile=512, window=128, group=16,
-        threshold_method="approx", threshold_refresh=0,
-    )
+    if platform == "cpu":
+        # Pallas interpret mode is too slow for a bench; use the XLA
+        # fused engine on CPU smoke runs.
+        run = lambda: fused_denoise(
+            pts, nrm, cfg, iterations=iters,
+            tile=512, window=128, group=16,
+            threshold_method="approx", threshold_refresh=0,
+        )
+    else:
+        # Pallas fused engine: the whole iteration in VMEM;
+        # stale-threshold + lagged-delta modes mirror the reference's
+        # frozen-KD-tree neighbor semantics (Selector.py:141).
+        run = lambda: pallas_denoise(
+            pts, nrm, cfg, iterations=iters,
+            tile=256, window=128,
+            threshold_method="approx", delta_mode="lagged",
+        )
 
     # Warm-up compile.
     out, _, _ = run()

@@ -118,10 +118,12 @@ def _col_valid(off, nv, wt):
     return (off + j) < nv
 
 
-def _nvt_eigh(tq, wr, d, mask_k, cos_rho):
+def _nvt_eigh(tq, wr, d, mask_k, cos_rho, cross=None):
     """Filtered NVT + eigendecomposition on one tile
-    (fused.py _nvt_tile, component output)."""
-    cross = _mmT(tq[0:3], wr[5:8])  # p_i . n_j
+    (fused.py _nvt_tile, component output). ``cross`` (p_i . n_j) can be
+    supplied from a shared batched dot."""
+    if cross is None:
+        cross = _mmT(tq[0:3], wr[5:8])  # p_i . n_j
     num = jnp.abs(wr[8][None, :] - cross)
     cosang = num * jax.lax.rsqrt(jnp.maximum(d, 1e-24))
     wf0 = ((cosang < cos_rho) & mask_k).astype(jnp.float32)
@@ -133,6 +135,58 @@ def _nvt_eigh(tq, wr, d, mask_k, cos_rho):
     wsum = jnp.maximum(jnp.sum(wf, axis=1), 1.0)  # (T,)
     t6 = tuple(_wsum(wf, wr[9 + r]) / wsum for r in range(6))
     return eigh3x3_components(*t6, acos_fn=acos_poly)
+
+
+def _pipelined_load(
+    starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
+):
+    """Double-buffered tile/window loads: issue tile t+1's DMA before
+    waiting on tile t's (scratch and semaphores persist across the
+    sequential grid loop, hiding the ~3.5 us DMA latency floor)."""
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    def copies(idx, sl):
+        off = pl.multiple_of(starts_ref[idx], 128)
+        return (
+            pltpu.make_async_copy(
+                gq_ref.at[:, pl.ds(idx * t_sz, t_sz)], tq2.at[sl],
+                sems.at[sl, 0],
+            ),
+            pltpu.make_async_copy(
+                gr_ref.at[:, pl.ds(off, wt)], wr2.at[sl], sems.at[sl, 1]
+            ),
+        )
+
+    @pl.when(t == 0)
+    def _():
+        for c in copies(t, slot):
+            c.start()
+
+    @pl.when(t + 1 < num_tiles)
+    def _():
+        for c in copies(jnp.minimum(t + 1, num_tiles - 1), nxt):
+            c.start()
+
+    for c in copies(t, slot):
+        c.wait()
+    return tq2[slot], wr2[slot]
+
+
+def _batched_cross_dots(tq, wr, e2d, t_sz, wt):
+    """All (3-row) cross products in ONE batched MXU dot:
+    returns (cross=p.n, ninj=fn.fn, ny=y.n, py=y.p) as (T, W) tiles.
+    Separate small dots cost ~1 us of MXU pipeline each; batching
+    collapses four of them into one op."""
+    zero3 = jnp.zeros((3, t_sz), jnp.float32)
+    del zero3
+    lhs = jnp.stack([tq[0:3], tq[5:8], e2d, e2d], axis=0)  # (4, 3, T)
+    rhs = jnp.stack([wr[5:8], wr[5:8], wr[5:8], wr[15:18]], axis=0)
+    out = jax.lax.dot_general(
+        lhs, rhs, (((1,), (1,)), ((0,), (0,))), precision=_HI,
+        preferred_element_type=jnp.float32,
+    )  # (4, T, W)
+    return out[0], out[1], out[2], out[3]
 
 
 def _dma_in(refs_slices, scratches, sems):
@@ -151,21 +205,20 @@ def _dma_in(refs_slices, scratches, sems):
 # ---------------------------------------------------------------------------
 
 
-def _make_pass_a(t_sz, wt, nv_total, cfg: DenoiseConfig):
+def _make_pass_a(t_sz, wt, nv_total, cfg: DenoiseConfig, num_tiles=None):
     import math
 
     cos_rho = math.cos(cfg.angle)
 
-    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, out_ref, tq_s, wr_s, sems):
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, gq2_ref, gr2_ref,
+               tq2_s, wr2_s, sems):
         t = pl.program_id(0)
         off = pl.multiple_of(starts_ref[t], 128)
         nv = meta_ref[0]
-        _dma_in(
-            (gq_ref.at[:, pl.ds(t * t_sz, t_sz)], gr_ref.at[:, pl.ds(off, wt)]),
-            (tq_s, wr_s),
-            sems,
+        tq, wr = _pipelined_load(
+            starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2_s,
+            wr2_s, sems,
         )
-        tq, wr = tq_s[...], wr_s[...]
         d = _dist(tq, wr)
         d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
         rkf = jnp.transpose(tq[8:9, :])  # (T, 1)
@@ -173,23 +226,41 @@ def _make_pass_a(t_sz, wt, nv_total, cfg: DenoiseConfig):
         w, v = _nvt_eigh(tq, wr, d, mk, cos_rho)
         n_i = (tq[5], tq[6], tq[7])
         f = _vu_smooth_c(w, v, n_i, cfg.vu_tau, cfg.vu_damping)
-        out = jnp.concatenate(
-            [f[0][None, :], f[1][None, :], f[2][None, :],
-             jnp.zeros((5, t_sz), jnp.float32)],
+        # Emit next-stage packs directly (no XLA repack between passes):
+        # GQ2 = pos rows of GQ with normals replaced by f_n; GR2 likewise
+        # with the derived rows (p.n, sym6) rebuilt in-register.
+        gq2 = jnp.concatenate(
+            [tq[0:5],
+             f[0][None, :], f[1][None, :], f[2][None, :],
+             tq[8:16]],
             axis=0,
         )
-        out_ref[...] = out
+        p = (tq[0], tq[1], tq[2])
+        pn = _dot_c(p, f)
+        gr2 = jnp.concatenate(
+            [-2.0 * tq[0:3], tq[4:5], tq[3:4],
+             f[0][None, :], f[1][None, :], f[2][None, :],
+             pn[None, :],
+             (f[0] * f[0])[None, :], (f[0] * f[1])[None, :],
+             (f[0] * f[2])[None, :], (f[1] * f[1])[None, :],
+             (f[1] * f[2])[None, :], (f[2] * f[2])[None, :],
+             tq[0:3],
+             jnp.zeros((6, t_sz), jnp.float32)],
+            axis=0,
+        )
+        gq2_ref[...] = gq2
+        gr2_ref[...] = gr2
 
     return kernel
 
 
-def _make_pass_b(t_sz, wt, cfg: DenoiseConfig, needs_delta):
+def _make_pass_b(t_sz, wt, cfg: DenoiseConfig, needs_delta, lagged=False):
     import math
 
     cos_rho = math.cos(cfg.angle)
 
-    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, cls_ref, part_ref,
-               tq_s, wr_s, sems):
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, scal_ref, cls_ref,
+               part_ref, tq_s, wr_s, sems):
         t = pl.program_id(0)
         off = pl.multiple_of(starts_ref[t], 128)
         nv = meta_ref[0]
@@ -227,7 +298,7 @@ def _make_pass_b(t_sz, wt, cfg: DenoiseConfig, needs_delta):
             jax.lax.broadcasted_iota(jnp.int32, (1, t_sz), 1) == 0
         ).astype(jnp.float32)
         rows = []
-        for c in needs_delta:
+        for ci, c in enumerate(needs_delta):
             mrow = jnp.where(
                 (cls[:, None] == float(c)) & row_valid, 1.0, 0.0
             )
@@ -237,6 +308,20 @@ def _make_pass_b(t_sz, wt, cfg: DenoiseConfig, needs_delta):
             for comp in range(3):
                 rows.append(jnp.sum(mc * wr[15 + comp][None, :]) * lane0)
             rows.append(jnp.sum(mc) * lane0)
+            if lagged:
+                # Max distance^2 to the PREVIOUS iteration's class
+                # center (one-iteration lag folds pass C away; the
+                # delta is a slowly-varying global scale).
+                cen = (
+                    scal_ref[4 + ci, 0], scal_ref[4 + ci, 1],
+                    scal_ref[4 + ci, 2],
+                )
+                dist2 = (
+                    wr[3]
+                    + (wr[0] * cen[0] + wr[1] * cen[1] + wr[2] * cen[2])
+                    + (cen[0] ** 2 + cen[1] ** 2 + cen[2] ** 2)
+                )
+                rows.append(jnp.max(mc * dist2[None, :]) * lane0)
         while len(rows) < 16:
             rows.append(jnp.zeros((1, t_sz), jnp.float32))
         part_ref[...] = jnp.concatenate(rows, axis=0)
@@ -451,6 +536,233 @@ def _make_pass_d(t_sz, wt, cfg: DenoiseConfig, strategy, needs_delta):
     return kernel
 
 
+
+
+def _make_pass_bd(t_sz, wt, cfg: DenoiseConfig, strategy, needs_delta,
+                  num_tiles=None):
+    """Fused pass B+D for lagged-delta mode: one distance tile feeds
+    NVT2 -> classification -> the vertex updates, plus next-iteration
+    delta partials — two passes' work, one window stream."""
+    import math
+
+    cos_rho = math.cos(cfg.angle)
+    alphas = cfg.alphas
+    delta_slot = {c: i for i, c in enumerate(needs_delta)}
+
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, scal_ref,
+               gq_ref_out, gr_ref_out, part_ref, tq2_s, wr2_s, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        tq, wr = _pipelined_load(
+            starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2_s,
+            wr2_s, sems,
+        )
+        d = _dist(tq, wr)
+        d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
+
+        # ---- B part: NVT2 -> classes + edge directions ---------------
+        rkf = jnp.transpose(tq[8:9, :])
+        mk = (d <= rkf) & (d < 1e30)
+        cross0 = _mmT(tq[0:3], wr[5:8])
+        w, v = _nvt_eigh(tq, wr, d, mk, cos_rho, cross=cross0)
+        cls = _classes_c(w, cfg.class_scale)
+        edge = v[0]
+        e2d = jnp.concatenate(
+            [edge[0][None, :], edge[1][None, :], edge[2][None, :]], axis=0
+        )  # (3, T) for the edge-step MXU products
+
+        # ---- D part: class-dispatched updates -------------------------
+        rk8 = jnp.transpose(tq[9:10, :])
+        m8f = ((d <= rk8) & (d < 1e30)).astype(jnp.float32)
+        d_thr = scal_ref[0, 0]
+        p_i = (tq[0], tq[1], tq[2])
+        n_i = (tq[5], tq[6], tq[7])
+
+        deg = jnp.sum(m8f, axis=1)
+        s6 = _wsum_rows(m8f, wr[9:15], 6)
+        nnv = wr[5:8] * wr[8][None, :]
+        b_nv = _wsum_rows(m8f, nnv, 3)
+        sv = _wsum_rows(m8f, wr[15:18], 3)
+        # pdotn == cross0 (shared with the NVT weight computation).
+        dotj = wr[8][None, :] - cross0
+        lhs_b = jnp.stack([tq[5:8], e2d, e2d], axis=0)  # (3, 3, T)
+        rhs_b = jnp.stack([wr[5:8], wr[5:8], wr[15:18]], axis=0)
+        bdots = jax.lax.dot_general(
+            lhs_b, rhs_b, (((1,), (1,)), ((0,), (0,))), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # (3, T, W): ninj, ny, py
+        ninj_b, ny_b, py_b = bdots[0], bdots[1], bdots[2]
+
+        def srow(t6):
+            return (
+                (t6[0], t6[1], t6[2]),
+                (t6[1], t6[3], t6[4]),
+                (t6[2], t6[4], t6[5]),
+            )
+
+        def clamp(opt, alpha, strict=True):
+            di = tuple((o - p) * alpha for o, p in zip(opt, p_i))
+            nrm = _norm_c(di)
+            ok = nrm < d_thr if strict else nrm <= d_thr
+            return tuple(jnp.where(ok, p + dd, p) for p, dd in zip(p_i, di))
+
+        def three_term(s6_w, b_nv_w, sv_w):
+            nio = (
+                (n_i[0] * n_i[0], n_i[0] * n_i[1], n_i[0] * n_i[2]),
+                (n_i[0] * n_i[1], n_i[1] * n_i[1], n_i[1] * n_i[2]),
+                (n_i[0] * n_i[2], n_i[1] * n_i[2], n_i[2] * n_i[2]),
+            )
+            sr = srow(s6_w)
+            rows = tuple(
+                tuple(
+                    (1.0 if a == b else 0.0)
+                    + nio[a][b] * (1.0 + deg)
+                    + sr[a][b]
+                    for b in range(3)
+                )
+                for a in range(3)
+            )
+            niv = _dot_c(nio[0], p_i), _dot_c(nio[1], p_i), _dot_c(nio[2], p_i)
+            nisv = _dot_c(nio[0], sv_w), _dot_c(nio[1], sv_w), _dot_c(nio[2], sv_w)
+            b = tuple(p_i[c] + niv[c] + nisv[c] + b_nv_w[c] for c in range(3))
+            opt, _ = solve3x3_components(rows, b, p_i)
+            return opt
+
+        results = {}
+        for cid in range(3):
+            name = strategy[cid]
+            key = cid
+            if name == "flat":
+                delta = scal_ref[1 + delta_slot[cid], 0]
+                d2 = jnp.maximum(delta * delta, 1e-30)
+                sim = jnp.exp(-16.0 * (2.0 - 2.0 * ninj_b) / d2)
+                close = jnp.exp(-4.0 * jnp.where(d < 1e30, d, 0.0) / d2)
+                wb = sim * close * m8f
+                num = jnp.sum(wb * dotj, axis=1)
+                wsum = jnp.maximum(jnp.sum(wb, axis=1), 1e-30)
+                scalef = num / wsum * alphas[cid]
+                di = tuple(scalef * n for n in n_i)
+                nrm = _norm_c(di)
+                results[key] = tuple(
+                    jnp.where(nrm <= d_thr, p + dd, p)
+                    for p, dd in zip(p_i, di)
+                )
+            elif name == "edge":
+                y = edge
+                q_yy = _wsum_rows(m8f * ny_b * py_b, wr[5:8], 3)
+                sr = srow(s6)
+                sy = tuple(_dot_c(sr[a], y) for a in range(3))
+                ysy = _dot_c(sy, y)
+                rows = tuple(
+                    tuple(
+                        sr[a][b]
+                        - y[a] * sy[b]
+                        - sy[a] * y[b]
+                        + ysy * y[a] * y[b]
+                        + deg * y[a] * y[b]
+                        for b in range(3)
+                    )
+                    for a in range(3)
+                )
+                z = tuple(b_nv[c] - q_yy[c] for c in range(3))
+                yz = _dot_c(y, z)
+                yp = _dot_c(y, p_i)
+                b = tuple(z[c] - yz * y[c] + deg * yp * y[c] for c in range(3))
+                opt, _ = solve3x3_components(rows, b, p_i)
+                results[key] = clamp(opt, alphas[cid])
+            elif name == "corner":
+                opt, _ = solve3x3_components(srow(s6), b_nv, p_i)
+                results[key] = clamp(opt, alphas[cid])
+            elif name == "feature":
+                results[key] = clamp(three_term(s6, b_nv, sv), alphas[cid])
+            elif name == "new":
+                delta = scal_ref[1 + delta_slot[cid], 0]
+                d2 = jnp.maximum(delta * delta, 1e-30)
+                like = jnp.exp(-9.0 * dotj * dotj / d2) * m8f
+                s6w = _wsum_rows(like, wr[9:15], 6)
+                b_nvw = _wsum_rows(like, nnv, 3)
+                svw = _wsum_rows(like, wr[15:18], 3)
+                results[key] = clamp(three_term(s6w, b_nvw, svw), alphas[cid])
+            elif name == "dummy":
+                results[key] = p_i
+            else:
+                raise ValueError(name)
+
+        out = [results[0], results[1], results[2]]
+        new_p = tuple(
+            jnp.where(
+                cls == 0.0, out[0][c], jnp.where(cls == 1.0, out[1][c], out[2][c])
+            )
+            for c in range(3)
+        )
+        # Pin padding rows (sorted padding sits past nv).
+        rv = (
+            t * t_sz + jax.lax.broadcasted_iota(jnp.int32, (t_sz,), 0)
+        ) < nv
+        new_p = tuple(
+            jnp.where(rv, np_, p0_) for np_, p0_ in zip(new_p, p_i)
+        )
+        # Emit next iteration's packs: pos = new_p, normals = f_n (the
+        # smoothed normals this iteration ran with, GQ rows 5-7).
+        np2 = new_p[0] ** 2 + new_p[1] ** 2 + new_p[2] ** 2
+        fn = n_i
+        pn_next = new_p[0] * fn[0] + new_p[1] * fn[1] + new_p[2] * fn[2]
+        gq_next = jnp.concatenate(
+            [new_p[0][None, :], new_p[1][None, :], new_p[2][None, :],
+             tq[3:4], np2[None, :],
+             fn[0][None, :], fn[1][None, :], fn[2][None, :],
+             tq[8:16]],
+            axis=0,
+        )
+        gr_next = jnp.concatenate(
+            [(-2.0 * new_p[0])[None, :], (-2.0 * new_p[1])[None, :],
+             (-2.0 * new_p[2])[None, :],
+             np2[None, :], tq[3:4],
+             fn[0][None, :], fn[1][None, :], fn[2][None, :],
+             pn_next[None, :],
+             (fn[0] * fn[0])[None, :], (fn[0] * fn[1])[None, :],
+             (fn[0] * fn[2])[None, :], (fn[1] * fn[1])[None, :],
+             (fn[1] * fn[2])[None, :], (fn[2] * fn[2])[None, :],
+             new_p[0][None, :], new_p[1][None, :], new_p[2][None, :],
+             jnp.zeros((6, t_sz), jnp.float32)],
+            axis=0,
+        )
+        gq_ref_out[...] = gq_next
+        gr_ref_out[...] = gr_next
+
+        # ---- next-iteration delta partials ----------------------------
+        row_valid = (
+            t * t_sz + jax.lax.broadcasted_iota(jnp.int32, (t_sz, 1), 0)
+        ) < nv
+        lane0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, t_sz), 1) == 0
+        ).astype(jnp.float32)
+        rows_out = []
+        for ci, c in enumerate(needs_delta):
+            mrow = jnp.where((cls[:, None] == float(c)) & row_valid, 1.0, 0.0)
+            mc = m8f * mrow
+            for comp in range(3):
+                rows_out.append(jnp.sum(mc * wr[15 + comp][None, :]) * lane0)
+            rows_out.append(jnp.sum(mc) * lane0)
+            cen = (
+                scal_ref[4 + ci, 0], scal_ref[4 + ci, 1], scal_ref[4 + ci, 2],
+            )
+            dist2 = (
+                wr[3]
+                + (wr[0] * cen[0] + wr[1] * cen[1] + wr[2] * cen[2])
+                + (cen[0] ** 2 + cen[1] ** 2 + cen[2] ** 2)
+            )
+            rows_out.append(jnp.max(mc * dist2[None, :]) * lane0)
+        while len(rows_out) < 15:
+            rows_out.append(jnp.zeros((1, t_sz), jnp.float32))
+        # Row 15 carries the per-point classes for the caller.
+        rows_out.append(cls[None, :])
+        part_ref[...] = jnp.concatenate(rows_out, axis=0)
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -490,7 +802,7 @@ def _set_rk(gq, rk_feat, rk_step):
     jax.jit,
     static_argnames=(
         "cfg", "strategy", "iterations", "tile", "window",
-        "threshold_method", "interpret",
+        "threshold_method", "delta_mode", "interpret",
     ),
 )
 def pallas_denoise(
@@ -504,9 +816,16 @@ def pallas_denoise(
     window: int = 128,
     threshold_method: str = "approx",
     threshold_slack: float = 1.05,
+    delta_mode: str = "exact",
     interpret: bool = False,
 ):
     """Pallas twin of fused.fused_denoise in stale-threshold mode.
+
+    ``delta_mode``: "exact" runs a dedicated pass for the flat-step
+    spread scale; "lagged" reuses the previous iteration's class centers
+    (initialized from the cloud centroid/radius), folding that pass
+    away — the scale varies slowly, so the lag is negligible against
+    the stale-threshold approximation already in effect.
 
     Returns (points, normals, classes) in original order.
     """
@@ -565,30 +884,69 @@ def pallas_denoise(
         )
 
     sem2 = pltpu.SemaphoreType.DMA((2,))
+    sem22 = pltpu.SemaphoreType.DMA((2, 2))
     sem3 = pltpu.SemaphoreType.DMA((3,))
     scr_tq = pltpu.VMEM((16, tile), jnp.float32)
     scr_wr = pltpu.VMEM((24, wt), jnp.float32)
+    scr_tq2 = pltpu.VMEM((2, 16, tile), jnp.float32)
+    scr_wr2 = pltpu.VMEM((2, 24, wt), jnp.float32)
     scr_tc = pltpu.VMEM((8, tile), jnp.float32)
 
     pass_a = pl.pallas_call(
-        _make_pass_a(tile, wt, n, cfg),
+        _make_pass_a(tile, wt, n, cfg, num_tiles=num_tiles),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-            out_specs=pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
-            scratch_shapes=[scr_tq, scr_wr, sem2],
+            out_specs=(
+                pl.BlockSpec((16, tile), lambda t, *_: (0, t)),
+                pl.BlockSpec((24, tile), lambda t, *_: (0, t)),
+            ),
+            scratch_shapes=[scr_tq2, scr_wr2, sem22],
         ),
-        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((16, n), jnp.float32),
+            jax.ShapeDtypeStruct((24, n), jnp.float32),
+        ),
         interpret=interpret,
     )
 
-    pass_b = pl.pallas_call(
-        _make_pass_b(tile, wt, cfg, needs_delta),
+    lagged = delta_mode == "lagged"
+    pass_bd = pl.pallas_call(
+        _make_pass_bd(tile, wt, cfg, strategy, needs_delta,
+                      num_tiles=num_tiles),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, 128), lambda t, *_: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((16, tile), lambda t, *_: (0, t)),
+                pl.BlockSpec((24, tile), lambda t, *_: (0, t)),
+                pl.BlockSpec((16, tile), lambda t, *_: (0, t)),
+            ),
+            scratch_shapes=[scr_tq2, scr_wr2, sem22],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((16, n), jnp.float32),
+            jax.ShapeDtypeStruct((24, n), jnp.float32),
+            jax.ShapeDtypeStruct((16, n), jnp.float32),
+        ),
+        interpret=interpret,
+    ) if lagged else None
+    pass_b = pl.pallas_call(
+        _make_pass_b(tile, wt, cfg, needs_delta, lagged=lagged),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, 128), lambda t, *_: (0, 0)),
+            ],
             out_specs=(
                 pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
                 pl.BlockSpec((16, tile), lambda t, *_: (0, t)),
@@ -641,46 +999,76 @@ def pallas_denoise(
     pos0 = sc.pos.T  # (3, N) SoA
     nrm0 = sc.nrm.T
 
+    # Initial lag state: cloud centroid + radius for every delta class.
+    valid_cols = (jnp.arange(n) < nv)[None, :]
+    vcnt = jnp.maximum(jnp.sum(valid_cols), 1)
+    centroid = jnp.sum(jnp.where(valid_cols, pos0, 0.0), axis=1) / vcnt
+    radius0 = jnp.sqrt(
+        jnp.max(
+            jnp.where(
+                valid_cols[0],
+                jnp.sum((pos0 - centroid[:, None]) ** 2, axis=0),
+                0.0,
+            )
+        )
+    )
+    scal0 = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(d_thr)
+    for ci in range(len(needs_delta)):
+        scal0 = scal0.at[1 + ci, 0].set(radius0)
+        scal0 = scal0.at[4 + ci, 0:3].set(centroid)
+
+    gq0, gr0 = _build_packs(pos0, nrm0)
+    gq0 = _set_rk(gq0, rk_feat, rk_step)
+
     def one_iteration(carry, _):
-        pos, nrm = carry  # (3, N) each
+        gq, gr, scal_prev = carry  # (16,N), (24,N), (8,128)
 
-        gq, gr = _build_packs(pos, nrm)
-        gq = _set_rk(gq, rk_feat, rk_step)
-        fpack = pass_a(starts, meta, gq, gr)
-        f_n = fpack[0:3]  # (3, N)
-
-        gq2, gr2 = _build_packs(pos, f_n)
-        gq2 = _set_rk(gq2, rk_feat, rk_step)
-        cls_pack, parts = pass_b(starts, meta, gq2, gr2)
+        gq2, gr2 = pass_a(starts, meta, gq, gr)
 
         scal = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(d_thr)
-        if needs_delta:
-            # parts rows: per class ci: [psum(3), cnt] at 4ci..4ci+3;
-            # tile scalars live in lane 0 of each (16, T) block.
+        if lagged:
+            # Single fused B+D pass using the PREVIOUS iteration's
+            # centers/deltas; emits next iteration's packs directly.
+            gq_n, gr_n, parts = pass_bd(starts, meta, gq2, gr2, scal_prev)
+            cls_row = parts[15]
             ptile = parts.reshape(16, num_tiles, tile)[:, :, 0]
             for ci, _c in enumerate(needs_delta):
-                psum = jnp.sum(ptile[4 * ci : 4 * ci + 3], axis=1)
-                cnt = jnp.maximum(jnp.sum(ptile[4 * ci + 3]), 1.0)
-                center = psum / cnt
-                scal = scal.at[4 + ci, 0:3].set(center)
+                base = 5 * ci
+                psum = jnp.sum(ptile[base : base + 3], axis=1)
+                cnt = jnp.maximum(jnp.sum(ptile[base + 3]), 1.0)
+                scal = scal.at[4 + ci, 0:3].set(psum / cnt)
+                delta = jnp.sqrt(jnp.maximum(jnp.max(ptile[base + 4]), 0.0))
+                scal = scal.at[1 + ci, 0].set(delta)
+            return (gq_n, gr_n, scal), cls_row
+
+        cls_pack, parts = pass_b(starts, meta, gq2, gr2, scal_prev)
+        cls_row = cls_pack[0]
+        if needs_delta:
+            # parts rows per class ci: [psum(3), cnt]; tile scalars
+            # in lane 0 of each (16, T) block.
+            ptile = parts.reshape(16, num_tiles, tile)[:, :, 0]
+            for ci, _c in enumerate(needs_delta):
+                base = 4 * ci
+                psum = jnp.sum(ptile[base : base + 3], axis=1)
+                cnt = jnp.maximum(jnp.sum(ptile[base + 3]), 1.0)
+                scal = scal.at[4 + ci, 0:3].set(psum / cnt)
             maxp = pass_c(starts, meta, gq2, gr2, cls_pack, scal)
             mtile = maxp.reshape(8, num_tiles, tile)[:, :, 0]
             for ci, _c in enumerate(needs_delta):
                 delta = jnp.sqrt(jnp.maximum(jnp.max(mtile[ci]), 0.0))
                 scal = scal.at[1 + ci, 0].set(delta)
-
         newp = pass_d(starts, meta, gq2, gr2, cls_pack, scal)
-        new_pos = newp[0:3]
-        # Pin padding rows.
-        valid = (jnp.arange(n) < nv)[None, :]
-        new_pos = jnp.where(valid, new_pos, pos)
-        return (new_pos, f_n), cls_pack[0]
+        new_pos = jnp.where(valid_cols, newp[0:3], gq[0:3])
+        f_n = gq2[5:8]
+        gq_n, gr_n = _build_packs(new_pos, f_n)
+        gq_n = _set_rk(gq_n, rk_feat, rk_step)
+        return (gq_n, gr_n, scal), cls_row
 
-    (pos_f, nrm_f), cls_hist = jax.lax.scan(
-        one_iteration, (pos0, nrm0), None, length=iters
+    (gq_f, gr_f, _), cls_hist = jax.lax.scan(
+        one_iteration, (gq0, gr0, scal0), None, length=iters
     )
-    out_pos = unsort(pos_f.T, sc.orig_idx)[:n_in]
-    out_nrm = unsort(nrm_f.T, sc.orig_idx)[:n_in]
+    out_pos = unsort(gq_f[0:3].T, sc.orig_idx)[:n_in]
+    out_nrm = unsort(gq_f[5:8].T, sc.orig_idx)[:n_in]
     out_cls = unsort(
         cls_hist[-1].astype(jnp.int32)[:, None], sc.orig_idx
     )[:n_in, 0]
