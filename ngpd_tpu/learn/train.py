@@ -210,6 +210,10 @@ def fit(
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
         val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+        if not val_metrics:
+            # Tiny datasets can yield zero full validation batches; fall
+            # back to monitoring the training loss.
+            val_metrics = dict(train_metrics)
         logger.log(epoch, "val", val_metrics)
         monitored = val_metrics.get(
             train_cfg.monitor.replace("val_", ""), val_metrics["custom_val_loss"]

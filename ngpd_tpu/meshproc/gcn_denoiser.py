@@ -1,0 +1,81 @@
+"""The full GCN-denoiser flow — MeshViewer::slotDenoise rebuilt.
+
+The C++ app's pipeline (MeshViewer.cpp:769-1416):
+  1. build 64-face patches for every face (OpenMP + FLANN,
+     PatchData.cpp) -> here one batched extract_mesh_patches call;
+  2. run the TorchScript DGCNN on CUDA in 720-face batches
+     (MeshViewer.cpp:802-890) -> jitted Flax DGCNN, batched;
+  3. normalize + rotate predictions back to world frame
+     (MeshViewer.cpp:893-911) -> unrotate_predictions;
+  4. guided bilateral normal filtering + vertex updates
+     (MeshNormalFiltering.cpp) -> guided_normal_filter;
+  5. optionally a SECOND GCN pass on the denoised mesh with rebuilt
+     neighborhoods (MeshViewer.cpp:1073-1336) -> passes > 1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GNFConfig, PatchConfig
+from ..models.dgcnn import DGCNN
+from .filtering import guided_normal_filter
+from .patches import extract_mesh_patches, unrotate_predictions
+from .trimesh import TriMesh
+
+
+def predict_face_normals(
+    mesh: TriMesh,
+    model: DGCNN,
+    variables,
+    patch_cfg: PatchConfig = PatchConfig(),
+    batch_size: int = 720,
+) -> jnp.ndarray:
+    """Per-face world-frame normals from the patch network.
+
+    batch_size=720 matches the app's inference batching
+    (MeshViewer.cpp:806)."""
+    patches = extract_mesh_patches(mesh, cfg=patch_cfg)
+    nf = patches.inputs.shape[0]
+
+    @jax.jit
+    def fwd(x):
+        return model.apply(variables, x, train=False)
+
+    outs = []
+    for s in range(0, nf, batch_size):
+        e = min(s + batch_size, nf)
+        chunk = patches.inputs[s:e]
+        pad = batch_size - (e - s)
+        if pad:
+            chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+        outs.append(fwd(chunk)[: e - s])
+    pred = jnp.concatenate(outs, axis=0)
+    pred = pred / jnp.maximum(
+        jnp.linalg.norm(pred, axis=1, keepdims=True), 1e-12
+    )
+    return unrotate_predictions(pred, patches.rotations)
+
+
+def gcn_denoise_mesh(
+    mesh: TriMesh,
+    model: DGCNN,
+    variables,
+    passes: int = 1,
+    gnf_cfg: GNFConfig = GNFConfig(),
+    patch_cfg: PatchConfig = PatchConfig(),
+    batch_size: int = 720,
+) -> TriMesh:
+    """GCN-predicted normals -> guided filtering, optionally iterated
+    with rebuilt neighborhoods (the app's box_gcns knob,
+    GCNDenoiser.cpp:25-33)."""
+    out = mesh
+    for _ in range(max(1, passes)):
+        guidance = predict_face_normals(
+            out, model, variables, patch_cfg, batch_size
+        )
+        out = guided_normal_filter(out, guidance, gnf_cfg)
+    return out
