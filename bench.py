@@ -49,7 +49,7 @@ def main():
 
     from ngpd_tpu.config import DenoiseConfig
     from ngpd_tpu.core.fused import fused_denoise
-    from ngpd_tpu.core.pallas_fused import pallas_denoise
+    from ngpd_tpu.core.pallas_fused import pallas_denoise_hybrid
 
     platform = jax.devices()[0].platform
     default_n = 1_000_000 if platform != "cpu" else 20_000
@@ -71,24 +71,30 @@ def main():
             threshold_method="approx", threshold_refresh=0,
         )
     else:
-        # Pallas fused engine: the whole iteration in VMEM;
-        # stale-threshold + lagged-delta modes mirror the reference's
-        # frozen-KD-tree neighbor semantics (Selector.py:141).
-        run = lambda: pallas_denoise(
-            pts, nrm, cfg, iterations=iters,
-            tile=256, window=128,
-            threshold_method="approx", delta_mode="lagged",
+        # Hybrid Pallas engine: window reductions in VMEM kernels,
+        # per-point math (eigh/VU/solves) as full-width XLA fusions;
+        # stale-threshold + lagged-delta semantics mirror the
+        # reference's frozen KD-tree (Selector.py:141).
+        run = lambda: pallas_denoise_hybrid(
+            pts, nrm, cfg, iterations=iters, tile=256, window=128,
         )
+
+    import jax.numpy as _jnp
+
+    def sync(o):
+        # block_until_ready does not reliably synchronize through remote
+        # device tunnels; a scalar host transfer does.
+        return float(_jnp.sum(o))
 
     # Warm-up compile.
     out, _, _ = run()
-    out.block_until_ready()
+    sync(out)
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         out, _, _ = run()
-        out.block_until_ready()
+        sync(out)
         best = min(best, time.perf_counter() - t0)
 
     value = n * iters / best

@@ -1073,3 +1073,523 @@ def pallas_denoise(
         cls_hist[-1].astype(jnp.int32)[:, None], sc.orig_idx
     )[:n_in, 0]
     return out_pos, out_nrm, out_cls
+
+
+# ---------------------------------------------------------------------------
+# Hybrid driver: kernels reduce windows, XLA does per-point math
+# ---------------------------------------------------------------------------
+#
+# Ablation on v5e: the in-kernel eigensolver costs ~8.5 us of the
+# ~12.8 us tile budget — ~200 vector instructions on (256,)-wide data
+# use a quarter of each vreg. The per-point elementwise chains (eigh,
+# VU smoothing, the 3x3 step solves, class dispatch) run at full vector
+# width and fuse into a handful of HBM passes when done in XLA over
+# (N,) rows; only the (tile, window) reductions need Pallas. The edge
+# step's y-dependent sums decompose through the third-order tensor
+# Q[c,a,b] = sum_j m n_c n_a p_b (27 window sums), contracted with y
+# afterwards.
+
+
+def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig):
+    """Window reductions for NVT1: outputs t6 sums only."""
+    import math
+
+    cos_rho = math.cos(cfg.angle)
+
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, out_ref, tq2, wr2, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        tq, wr = _pipelined_load(
+            starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
+        )
+        d = _dist(tq, wr)
+        d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
+        rkf = jnp.transpose(tq[8:9, :])
+        mk = (d <= rkf) & (d < 1e30)
+        cross = _mmT(tq[0:3], wr[5:8])
+        num = jnp.abs(wr[8][None, :] - cross)
+        cosang = num * jax.lax.rsqrt(jnp.maximum(d, 1e-24))
+        wf0 = ((cosang < cos_rho) & mk).astype(jnp.float32)
+        mkf = mk.astype(jnp.float32)
+        wsum0 = jnp.sum(wf0, axis=1, keepdims=True)
+        wf = jnp.where(wsum0 == 0.0, mkf, wf0)
+        wsum = jnp.maximum(jnp.sum(wf, axis=1), 1.0)
+        rows = [(_wsum(wf, wr[9 + r]) / wsum)[None, :] for r in range(6)]
+        rows.append(jnp.zeros((2, t_sz), jnp.float32))
+        out_ref[...] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta):
+    """All class-independent window sums for the update stage."""
+    import math
+
+    cos_rho = math.cos(cfg.angle)
+    use_flat = "flat" in strategy
+    use_new = "new" in strategy
+    use_edge = "edge" in strategy
+
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, scal_ref, out_ref,
+               tq2, wr2, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        tq, wr = _pipelined_load(
+            starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
+        )
+        d = _dist(tq, wr)
+        d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
+
+        # NVT2 weights -> t6 sums (for classes/edge dirs, eigh in XLA).
+        rkf = jnp.transpose(tq[8:9, :])
+        mk = (d <= rkf) & (d < 1e30)
+        cross = _mmT(tq[0:3], wr[5:8])
+        numer = jnp.abs(wr[8][None, :] - cross)
+        cosang = numer * jax.lax.rsqrt(jnp.maximum(d, 1e-24))
+        wf0 = ((cosang < cos_rho) & mk).astype(jnp.float32)
+        mkf = mk.astype(jnp.float32)
+        wsum0 = jnp.sum(wf0, axis=1, keepdims=True)
+        wf = jnp.where(wsum0 == 0.0, mkf, wf0)
+        wsumn = jnp.maximum(jnp.sum(wf, axis=1), 1.0)
+        rows = [(_wsum(wf, wr[9 + r]) / wsumn)[None, :] for r in range(6)]
+
+        # Step-kNN mask and the shared sums.
+        rk8 = jnp.transpose(tq[9:10, :])
+        m8f = ((d <= rk8) & (d < 1e30)).astype(jnp.float32)
+        nnv = wr[5:8] * wr[8][None, :]
+        for r in range(6):  # s6
+            rows.append(_wsum(m8f, wr[9 + r])[None, :])
+        for r in range(3):  # b_nv
+            rows.append(_wsum(m8f, nnv[r])[None, :])
+        for r in range(3):  # sv
+            rows.append(_wsum(m8f, wr[15 + r])[None, :])
+        if use_edge:
+            # Q[c,a,b] = sum_j m8 n_c n_a p_b — 27 rows.
+            for c in range(3):
+                for a in range(3):
+                    base = wr[5 + c] * wr[5 + a]
+                    for b in range(3):
+                        rows.append(
+                            _wsum(m8f, base * wr[15 + b])[None, :]
+                        )
+        dotj = wr[8][None, :] - cross  # n_j . (p_j - p_i)
+        if use_flat:
+            delta = scal_ref[1, 0]
+            d2 = jnp.maximum(delta * delta, 1e-30)
+            ninj = _mmT(tq[5:8], wr[5:8])
+            sim = jnp.exp(-16.0 * (2.0 - 2.0 * ninj) / d2)
+            close = jnp.exp(-4.0 * jnp.where(d < 1e30, d, 0.0) / d2)
+            wb = sim * close * m8f
+            rows.append(jnp.sum(wb * dotj, axis=1)[None, :])
+            rows.append(jnp.sum(wb, axis=1)[None, :])
+        if use_new:
+            delta = scal_ref[2, 0]
+            d2 = jnp.maximum(delta * delta, 1e-30)
+            like = jnp.exp(-9.0 * dotj * dotj / d2) * m8f
+            for r in range(6):
+                rows.append(_wsum(like, wr[9 + r])[None, :])
+            for r in range(3):
+                rows.append(_wsum(like, nnv[r])[None, :])
+            for r in range(3):
+                rows.append(_wsum(like, wr[15 + r])[None, :])
+        # deg + per-point delta ingredients.
+        rows.append(jnp.sum(m8f, axis=1)[None, :])
+        for r in range(3):  # sum_j m8 p_j
+            rows.append(_wsum(m8f, wr[15 + r])[None, :])
+        for ci in range(len(needs_delta)):
+            cen = (scal_ref[4 + ci, 0], scal_ref[4 + ci, 1], scal_ref[4 + ci, 2])
+            dist2 = (
+                wr[3]
+                + (wr[0] * cen[0] + wr[1] * cen[1] + wr[2] * cen[2])
+                + (cen[0] ** 2 + cen[1] ** 2 + cen[2] ** 2)
+            )
+            rows.append(jnp.max(m8f * dist2[None, :], axis=1)[None, :])
+        total = len(rows)
+        pad = (-total) % 8
+        if pad:
+            rows.append(jnp.zeros((pad, t_sz), jnp.float32))
+        out_ref[...] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+def _k2_layout(strategy, needs_delta):
+    """Row offsets of the K2 output pack."""
+    lay = {}
+    o = 0
+    lay["t6"] = o; o += 6
+    lay["s6"] = o; o += 6
+    lay["b_nv"] = o; o += 3
+    lay["sv"] = o; o += 3
+    if "edge" in strategy:
+        lay["q27"] = o; o += 27
+    if "flat" in strategy:
+        lay["flat"] = o; o += 2
+    if "new" in strategy:
+        lay["new"] = o; o += 12
+    lay["deg"] = o; o += 1
+    lay["jp"] = o; o += 3
+    lay["maxd"] = o; o += len(needs_delta)
+    lay["_total"] = o + ((-o) % 8)
+    return lay
+
+
+def _xla_vu_stage(t6, gq, cfg: DenoiseConfig):
+    """eigh + VU smoothing + pack rebuild, one XLA fusion over (N,) rows.
+
+    t6: (8, N) from K1; gq: (16, N) current pack. Returns (GQ2, GR2).
+    """
+    w, v = eigh3x3_components(t6[0], t6[1], t6[2], t6[3], t6[4], t6[5])
+    n_i = (gq[5], gq[6], gq[7])
+    f = _vu_smooth_c(w, v, n_i, cfg.vu_tau, cfg.vu_damping)
+    pn = gq[0] * f[0] + gq[1] * f[1] + gq[2] * f[2]
+    gq2 = jnp.concatenate(
+        [gq[0:5], f[0][None], f[1][None], f[2][None], gq[8:16]], axis=0
+    )
+    gr2 = jnp.concatenate(
+        [-2.0 * gq[0:3], gq[4:5], gq[3:4],
+         f[0][None], f[1][None], f[2][None], pn[None],
+         (f[0] * f[0])[None], (f[0] * f[1])[None], (f[0] * f[2])[None],
+         (f[1] * f[1])[None], (f[1] * f[2])[None], (f[2] * f[2])[None],
+         gq[0:3], jnp.zeros((6, gq.shape[1]), jnp.float32)],
+        axis=0,
+    )
+    return gq2, gr2
+
+
+def _xla_update_stage(
+    k2, gq2, scal_prev, d_thr, cfg: DenoiseConfig, strategy, needs_delta,
+    lay, nv,
+):
+    """Classify + solve + dispatch + next-pack build, XLA over (N,) rows."""
+    n = gq2.shape[1]
+    p_i = (gq2[0], gq2[1], gq2[2])
+    n_i = (gq2[5], gq2[6], gq2[7])
+    alphas = cfg.alphas
+    delta_slot = {c: i for i, c in enumerate(needs_delta)}
+
+    t6 = k2[lay["t6"] : lay["t6"] + 6]
+    w, v = eigh3x3_components(t6[0], t6[1], t6[2], t6[3], t6[4], t6[5])
+    cls = _classes_c(w, cfg.class_scale)
+    y = v[0]
+
+    s6 = tuple(k2[lay["s6"] + r] for r in range(6))
+    b_nv = tuple(k2[lay["b_nv"] + r] for r in range(3))
+    sv = tuple(k2[lay["sv"] + r] for r in range(3))
+    deg = k2[lay["deg"]]
+
+    def srow(t):
+        return ((t[0], t[1], t[2]), (t[1], t[3], t[4]), (t[2], t[4], t[5]))
+
+    def clamp(opt, alpha, strict=True):
+        di = tuple((o - p) * alpha for o, p in zip(opt, p_i))
+        nrm = _norm_c(di)
+        ok = nrm < d_thr if strict else nrm <= d_thr
+        return tuple(jnp.where(ok, p + dd, p) for p, dd in zip(p_i, di))
+
+    def three_term(s6_w, b_nv_w, sv_w):
+        nio = (
+            (n_i[0] * n_i[0], n_i[0] * n_i[1], n_i[0] * n_i[2]),
+            (n_i[0] * n_i[1], n_i[1] * n_i[1], n_i[1] * n_i[2]),
+            (n_i[0] * n_i[2], n_i[1] * n_i[2], n_i[2] * n_i[2]),
+        )
+        sr = srow(s6_w)
+        rows = tuple(
+            tuple(
+                (1.0 if a == b else 0.0) + nio[a][b] * (1.0 + deg) + sr[a][b]
+                for b in range(3)
+            )
+            for a in range(3)
+        )
+        niv = tuple(_dot_c(nio[a], p_i) for a in range(3))
+        nisv = tuple(_dot_c(nio[a], sv_w) for a in range(3))
+        b = tuple(p_i[c] + niv[c] + nisv[c] + b_nv_w[c] for c in range(3))
+        opt, _ = solve3x3_components(rows, b, p_i)
+        return opt
+
+    results = {}
+    for cid in range(3):
+        name = strategy[cid]
+        if name == "flat":
+            num = k2[lay["flat"]]
+            wsum = jnp.maximum(k2[lay["flat"] + 1], 1e-30)
+            scalef = num / wsum * alphas[cid]
+            di = tuple(scalef * nc for nc in n_i)
+            nrm = _norm_c(di)
+            results[cid] = tuple(
+                jnp.where(nrm <= d_thr, p + dd, p) for p, dd in zip(p_i, di)
+            )
+        elif name == "edge":
+            q = k2[lay["q27"] : lay["q27"] + 27]
+            q_yy = tuple(
+                sum(
+                    q[c * 9 + a * 3 + b] * y[a] * y[b]
+                    for a in range(3)
+                    for b in range(3)
+                )
+                for c in range(3)
+            )
+            sr = srow(s6)
+            sy = tuple(_dot_c(sr[a], y) for a in range(3))
+            ysy = _dot_c(sy, y)
+            rows = tuple(
+                tuple(
+                    sr[a][b] - y[a] * sy[b] - sy[a] * y[b]
+                    + ysy * y[a] * y[b] + deg * y[a] * y[b]
+                    for b in range(3)
+                )
+                for a in range(3)
+            )
+            z = tuple(b_nv[c] - q_yy[c] for c in range(3))
+            yz = _dot_c(y, z)
+            yp = _dot_c(y, p_i)
+            b = tuple(z[c] - yz * y[c] + deg * yp * y[c] for c in range(3))
+            opt, _ = solve3x3_components(rows, b, p_i)
+            results[cid] = clamp(opt, alphas[cid])
+        elif name == "corner":
+            opt, _ = solve3x3_components(srow(s6), b_nv, p_i)
+            results[cid] = clamp(opt, alphas[cid])
+        elif name == "feature":
+            results[cid] = clamp(three_term(s6, b_nv, sv), alphas[cid])
+        elif name == "new":
+            s6w = tuple(k2[lay["new"] + r] for r in range(6))
+            b_nvw = tuple(k2[lay["new"] + 6 + r] for r in range(3))
+            svw = tuple(k2[lay["new"] + 9 + r] for r in range(3))
+            results[cid] = clamp(three_term(s6w, b_nvw, svw), alphas[cid])
+        elif name == "dummy":
+            results[cid] = p_i
+        else:
+            raise ValueError(name)
+
+    new_p = tuple(
+        jnp.where(
+            cls == 0.0, results[0][c],
+            jnp.where(cls == 1.0, results[1][c], results[2][c]),
+        )
+        for c in range(3)
+    )
+    valid = jnp.arange(n) < nv
+    new_p = tuple(jnp.where(valid, np_, p0) for np_, p0 in zip(new_p, p_i))
+
+    # Next-iteration lag state.
+    scal = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(d_thr)
+    jp = k2[lay["jp"] : lay["jp"] + 3]
+    for ci, c in enumerate(needs_delta):
+        mask_c = ((cls == float(c)) & valid).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(deg * mask_c), 1.0)
+        center = jnp.sum(jp * mask_c[None, :], axis=1) / cnt
+        scal = scal.at[4 + ci, 0:3].set(center)
+        delta = jnp.sqrt(
+            jnp.maximum(jnp.max(k2[lay["maxd"] + ci] * mask_c), 0.0)
+        )
+        scal = scal.at[1 + ci, 0].set(delta)
+
+    np2 = new_p[0] ** 2 + new_p[1] ** 2 + new_p[2] ** 2
+    fn = n_i
+    pn = new_p[0] * fn[0] + new_p[1] * fn[1] + new_p[2] * fn[2]
+    gq_n = jnp.concatenate(
+        [new_p[0][None], new_p[1][None], new_p[2][None],
+         gq2[3:4], np2[None],
+         fn[0][None], fn[1][None], fn[2][None], gq2[8:16]],
+        axis=0,
+    )
+    gr_n = jnp.concatenate(
+        [(-2.0 * new_p[0])[None], (-2.0 * new_p[1])[None],
+         (-2.0 * new_p[2])[None], np2[None], gq2[3:4],
+         fn[0][None], fn[1][None], fn[2][None], pn[None],
+         (fn[0] * fn[0])[None], (fn[0] * fn[1])[None],
+         (fn[0] * fn[2])[None], (fn[1] * fn[1])[None],
+         (fn[1] * fn[2])[None], (fn[2] * fn[2])[None],
+         new_p[0][None], new_p[1][None], new_p[2][None],
+         jnp.zeros((6, n), jnp.float32)],
+        axis=0,
+    )
+    return gq_n, gr_n, scal, cls
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "strategy", "iterations", "tile", "window",
+        "threshold_method", "interpret",
+    ),
+)
+def pallas_denoise_hybrid(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    cfg: DenoiseConfig = DenoiseConfig(),
+    strategy: tuple[str, str, str] = DEFAULT_STRATEGY,
+    iterations: Optional[int] = None,
+    num_valid: Optional[jnp.ndarray] = None,
+    tile: int = 256,
+    window: int = 128,
+    threshold_method: str = "approx",
+    threshold_slack: float = 1.05,
+    interpret: bool = False,
+):
+    """Hybrid engine: Pallas window reductions + XLA per-point math.
+
+    Lagged-delta, stale-threshold semantics (see pallas_denoise); the
+    fastest configuration for large clouds.
+    """
+    iters = cfg.iterations if iterations is None else iterations
+    n_in = points.shape[0]
+    nv = jnp.asarray(n_in if num_valid is None else num_valid, jnp.int32)
+
+    n = -(-n_in // tile) * tile
+    if n != n_in:
+        points = jnp.pad(points, ((0, n - n_in), (0, 0)))
+        normals = jnp.pad(normals, ((0, n - n_in), (0, 0)))
+    sc = morton_sort(points, normals, nv)
+
+    wt = min(tile + 2 * window, n)
+    num_tiles = n // tile
+    starts = jnp.clip(
+        jnp.arange(num_tiles, dtype=jnp.int32) * tile - window, 0, n - wt
+    )
+    meta = jnp.asarray([nv], jnp.int32)
+    needs_delta = tuple(c for c in range(3) if strategy[c] in ("flat", "new"))
+    lay = _k2_layout(strategy, needs_delta)
+
+    sem22 = pltpu.SemaphoreType.DMA((2, 2))
+    scr_tq2 = pltpu.VMEM((2, 16, tile), jnp.float32)
+    scr_wr2 = pltpu.VMEM((2, 24, wt), jnp.float32)
+
+    # Prologue: k-th distances + 6-NN edge sums via the counting-search
+    # kernel (packs with zeroed normal rows are sufficient for it).
+    pos0 = sc.pos.T
+    nrm0 = sc.nrm.T
+    gq0, gr0 = _build_packs(pos0, nrm0)
+    k0 = pl.pallas_call(
+        _make_k0(tile, wt, num_tiles, cfg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
+            scratch_shapes=[scr_tq2, scr_wr2, sem22],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        interpret=interpret,
+    )
+    pro = k0(starts, meta, gq0, gr0)
+    rk_feat = pro[0] * threshold_slack
+    rk_step = pro[1] * threshold_slack
+    d_thr = cfg.d_scale * jnp.sum(pro[2]) / jnp.maximum(jnp.sum(pro[3]), 1.0)
+
+    k1 = pl.pallas_call(
+        _make_k1(tile, wt, num_tiles, cfg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
+            scratch_shapes=[scr_tq2, scr_wr2, sem22],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        interpret=interpret,
+    )
+    k2 = pl.pallas_call(
+        _make_k2(tile, wt, num_tiles, cfg, strategy, needs_delta),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, 128), lambda t, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((lay["_total"], tile), lambda t, *_: (0, t)),
+            scratch_shapes=[scr_tq2, scr_wr2, sem22],
+        ),
+        out_shape=jax.ShapeDtypeStruct((lay["_total"], n), jnp.float32),
+        interpret=interpret,
+    )
+
+    valid_cols = (jnp.arange(n) < nv)[None, :]
+    vcnt = jnp.maximum(jnp.sum(valid_cols), 1)
+    centroid = jnp.sum(jnp.where(valid_cols, pos0, 0.0), axis=1) / vcnt
+    radius0 = jnp.sqrt(
+        jnp.max(
+            jnp.where(
+                valid_cols[0],
+                jnp.sum((pos0 - centroid[:, None]) ** 2, axis=0),
+                0.0,
+            )
+        )
+    )
+    scal0 = jnp.zeros((8, 128), jnp.float32)
+    for ci in range(len(needs_delta)):
+        scal0 = scal0.at[1 + ci, 0].set(radius0)
+        scal0 = scal0.at[4 + ci, 0:3].set(centroid)
+
+    gq0 = _set_rk(gq0, rk_feat, rk_step)
+
+    def one_iteration(carry, _):
+        gq, gr, scal_prev = carry
+        t6 = k1(starts, meta, gq, gr)
+        gq2, gr2 = _xla_vu_stage(t6, gq, cfg)
+        k2out = k2(starts, meta, gq2, gr2, scal_prev)
+        gq_n, gr_n, scal, cls = _xla_update_stage(
+            k2out, gq2, scal_prev, d_thr, cfg, strategy, needs_delta, lay, nv
+        )
+        return (gq_n, gr_n, scal), cls
+
+    (gq_f, gr_f, _), cls_hist = jax.lax.scan(
+        one_iteration, (gq0, gr0, scal0), None, length=iters
+    )
+    out_pos = unsort(gq_f[0:3].T, sc.orig_idx)[:n_in]
+    out_nrm = unsort(gq_f[5:8].T, sc.orig_idx)[:n_in]
+    out_cls = unsort(
+        cls_hist[-1].astype(jnp.int32)[:, None], sc.orig_idx
+    )[:n_in, 0]
+    return out_pos, out_nrm, out_cls
+
+
+def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24):
+    """Prologue kernel: per-point k-th distances (feature_k, step_k) and
+    the 6-NN edge-length sums — via in-VMEM binary counting search
+    instead of top_k (the XLA approx_min_k prologue costs ~0.25 s at 1M;
+    this runs at the distance-tile floor)."""
+
+    def kth_by_count(d, k, dmax):
+        lo = jnp.zeros((t_sz, 1), jnp.float32)
+        hi = dmax
+        for _ in range(search_iters):
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum((d <= mid).astype(jnp.float32), axis=1, keepdims=True)
+            ge = cnt >= float(k)
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid)
+        return hi
+
+    def kernel(starts_ref, meta_ref, pq_ref, pr_ref, out_ref, tq2, wr2, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        tq, wr = _pipelined_load(
+            starts_ref, pq_ref, pr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
+        )
+        d = _dist(tq, wr)
+        valid = _col_valid(off, nv, wt)
+        dmax = jnp.max(jnp.where(valid, d, 0.0), axis=1, keepdims=True) + 1.0
+        d = jnp.where(valid, d, dmax)  # padding cols above every threshold
+        rkf = kth_by_count(d, cfg.feature_k, dmax)
+        rk8 = kth_by_count(d, cfg.step_k, dmax)
+        rk6 = kth_by_count(d, 6, dmax)
+        in6 = (d <= rk6).astype(jnp.float32)
+        sum6 = jnp.sum(jnp.sqrt(jnp.maximum(d, 0.0)) * in6, axis=1)
+        cnt6 = jnp.sum(in6, axis=1)
+        row_valid = (
+            (t * t_sz + jax.lax.broadcasted_iota(jnp.int32, (t_sz,), 0)) < nv
+        ).astype(jnp.float32)
+        out_ref[...] = jnp.concatenate(
+            [rkf.T, rk8.T, (sum6 * row_valid)[None, :],
+             (cnt6 * row_valid)[None, :],
+             jnp.zeros((4, t_sz), jnp.float32)],
+            axis=0,
+        )
+
+    return kernel

@@ -39,6 +39,27 @@ def test_pallas_matches_fused_stale():
     )
 
 
+def test_hybrid_matches_lagged():
+    """The hybrid engine (window kernels + XLA per-point stages)
+    reproduces the monolithic lagged kernels."""
+    from ngpd_tpu.core.pallas_fused import pallas_denoise_hybrid
+
+    pts, nrm = sphere_cloud(256, seed=4)
+    rng = np.random.default_rng(5)
+    noisy = (pts + rng.normal(scale=0.03, size=pts.shape)).astype(np.float32)
+    a, _, ac = pallas_denoise(
+        jnp.asarray(noisy), jnp.asarray(nrm), iterations=2,
+        tile=128, window=128, threshold_method="exact",
+        delta_mode="lagged", interpret=True,
+    )
+    b, _, bc = pallas_denoise_hybrid(
+        jnp.asarray(noisy), jnp.asarray(nrm), iterations=2,
+        tile=128, window=128, interpret=True,
+    )
+    assert (np.asarray(ac) == np.asarray(bc)).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_pallas_all_strategies():
     """corner/new/dummy paths also lower and run."""
     pts, nrm = sphere_cloud(128, seed=6)
