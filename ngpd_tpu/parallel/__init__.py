@@ -4,3 +4,4 @@ from .sharded import (  # noqa: F401
     denoise_sharded,
     knn_sharded,
 )
+from .fused_sharded import fused_denoise_sharded  # noqa: F401

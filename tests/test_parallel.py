@@ -75,3 +75,32 @@ def test_denoise_sharded_matches_single():
     np.testing.assert_allclose(
         np.asarray(got)[:n], np.asarray(want), atol=5e-4
     )
+
+
+def test_fused_denoise_sharded_matches_single():
+    """The sharded Morton-window engine reproduces the single-device
+    fused result across an 8-device mesh."""
+    import jax.numpy as jnp
+    from ngpd_tpu.core.fused import fused_denoise
+    from ngpd_tpu.parallel.fused_sharded import fused_denoise_sharded
+
+    pts, nrm = sphere_cloud(2048, seed=9)
+    rng = np.random.default_rng(10)
+    noisy = (pts + rng.normal(scale=0.03, size=pts.shape)).astype(np.float32)
+
+    want, _, wc = fused_denoise(
+        jnp.asarray(noisy), jnp.asarray(nrm), iterations=2,
+        tile=128, window=128, group=1,
+        threshold_method="exact", threshold_refresh=0,
+    )
+
+    mesh = make_mesh(8)
+    sp, n = shard_points(jnp.asarray(noisy), mesh)
+    sn, _ = shard_points(jnp.asarray(nrm), mesh, pad_value=0.0)
+    got, _, gc = fused_denoise_sharded(
+        sp, sn, mesh, iterations=2, tile=128, window=128, num_valid=n,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[:n], np.asarray(want), atol=2e-4
+    )
+    assert (np.asarray(gc)[:n] == np.asarray(wc)).mean() > 0.99
