@@ -51,7 +51,7 @@ import jax.numpy as jnp
 
 from ..config import DenoiseConfig
 from ..ops.eigh3 import eigh3x3
-from ..ops.morton import SortedCloud, morton_sort, unsort
+from ..ops.morton import morton_sort, unsort
 from ..ops.solve3 import solve3x3_guarded
 from . import voting
 from .pipeline import DEFAULT_STRATEGY

@@ -173,22 +173,6 @@ def _pipelined_load(
     return tq2[slot], wr2[slot]
 
 
-def _batched_cross_dots(tq, wr, e2d, t_sz, wt):
-    """All (3-row) cross products in ONE batched MXU dot:
-    returns (cross=p.n, ninj=fn.fn, ny=y.n, py=y.p) as (T, W) tiles.
-    Separate small dots cost ~1 us of MXU pipeline each; batching
-    collapses four of them into one op."""
-    zero3 = jnp.zeros((3, t_sz), jnp.float32)
-    del zero3
-    lhs = jnp.stack([tq[0:3], tq[5:8], e2d, e2d], axis=0)  # (4, 3, T)
-    rhs = jnp.stack([wr[5:8], wr[5:8], wr[5:8], wr[15:18]], axis=0)
-    out = jax.lax.dot_general(
-        lhs, rhs, (((1,), (1,)), ((0,), (0,))), precision=_HI,
-        preferred_element_type=jnp.float32,
-    )  # (4, T, W)
-    return out[0], out[1], out[2], out[3]
-
-
 def _dma_in(refs_slices, scratches, sems):
     copies = [
         pltpu.make_async_copy(src, dst, sems.at[i])

@@ -1,0 +1,97 @@
+"""Golden-asset tests against the reference's shipped data.
+
+Uses the reference repo's noisy/clean OBJ pairs (read-only test DATA,
+not code) the way PostProcessing.ipynb does: denoising the shipped
+noisy clouds must reduce CD/sCD against the clean models. Skipped when
+the assets are not mounted.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+REF_MODELS = Path("/root/reference/models")
+REF_NOISE = Path("/root/reference/common-3d-test-models-master/Generated_Noise")
+REF_CLEAN = Path("/root/reference/common-3d-test-models-master")
+
+pytestmark = pytest.mark.skipif(
+    not REF_MODELS.exists(), reason="reference assets not mounted"
+)
+
+
+def _estimated(points):
+    from ngpd_tpu.core.normals import orient_normals, pvt_normals
+    from ngpd_tpu.ops.knn import knn
+
+    nbh, _ = knn(points, 12, exclude_self=True)
+    return orient_normals(points, pvt_normals(points, nbh), nbh)
+
+
+def _cd(a, b):
+    from ngpd_tpu.ops import metrics
+
+    return float(jnp.mean(metrics.chamfer_distance(a, b)))
+
+
+def test_fandisk_denoise_improves_cd():
+    from ngpd_tpu.core.pipeline import denoise
+    from ngpd_tpu.io.obj import load_obj
+
+    gt = load_obj(REF_MODELS / "fandisk.obj").points
+    noisy = load_obj(REF_MODELS / "fandisk_gaus_n6_noisy.obj").points
+    nrm = _estimated(noisy)
+    out, _, _ = denoise(noisy, nrm, iterations=4)
+    cd0, cd1 = _cd(noisy, gt), _cd(out, gt)
+    assert cd1 < 0.65 * cd0, (cd0, cd1)
+
+
+def test_fused_matches_pipeline_on_fandisk():
+    """Windowed engine parity on REAL data (not just synthetic)."""
+    from ngpd_tpu.core.fused import fused_denoise
+    from ngpd_tpu.core.pipeline import denoise
+    from ngpd_tpu.io.obj import load_obj
+
+    noisy = load_obj(REF_MODELS / "fandisk_gaus_n6_noisy.obj").points
+    # Subsample for CPU test speed.
+    noisy = noisy[::4]
+    nrm = _estimated(noisy)
+    want, _, wc = denoise(noisy, nrm, iterations=1)
+    got, _, gc = fused_denoise(
+        noisy, nrm, iterations=1, tile=128, window=1024, group=2
+    )
+    agree = (np.asarray(gc) == np.asarray(wc)).mean()
+    assert agree > 0.995, agree
+    # Window-approximate neighbor sets propagate small position
+    # differences even where classes agree; fandisk spans ~300 units,
+    # so 0.05 is ~0.02% of the extent.
+    same = np.asarray(gc) == np.asarray(wc)
+    np.testing.assert_allclose(
+        np.asarray(got)[same], np.asarray(want)[same], atol=5e-2
+    )
+
+
+def test_generated_noise_assets_denoise():
+    from ngpd_tpu.core.pipeline import denoise
+    from ngpd_tpu.io.obj import load_obj
+    from ngpd_tpu.io.sampling import sample_mesh
+    from ngpd_tpu.io.obj import read_obj
+
+    noisy_p = REF_NOISE / "fandisk_2.obj"
+    clean_p = REF_CLEAN / "fandisk.obj"
+    if not noisy_p.exists():
+        pytest.skip("Generated_Noise assets absent")
+    noisy = load_obj(noisy_p).points[::4]
+    clean_mesh = read_obj(clean_p)
+    gt = jnp.asarray(sample_mesh(clean_mesh.v, clean_mesh.fv, 2**14).points)
+    nrm = _estimated(noisy)
+    # Low-noise asset: use the reference's own until-minimum-error
+    # driver (returns the best iterate, so never worse than the input).
+    from ngpd_tpu.core.pipeline import denoise_until_minimum_error
+
+    best, err, iters = denoise_until_minimum_error(
+        noisy, nrm, gt, max_iterations=6
+    )
+    cd0, cd1 = _cd(noisy, gt), _cd(best, gt)
+    assert cd1 <= cd0 * 1.001, (cd0, cd1, int(iters))
