@@ -70,10 +70,20 @@ def cmd_denoise(args):
         print(f"stopped after {int(iters)} iterations, error {float(err):.4e}")
         nrm_out = nrm
     elif args.fused or len(cloud) >= 100_000:
-        out, nrm_out, _ = fused_denoise(
-            pts, nrm, cfg, strategy=strategy, iterations=args.iterations or 2,
-            window=args.window,
-        )
+        import jax
+
+        if jax.devices()[0].platform not in ("cpu",):
+            from ..core.pallas_fused import pallas_denoise_hybrid
+
+            out, nrm_out, _ = pallas_denoise_hybrid(
+                pts, nrm, cfg, strategy=strategy,
+                iterations=args.iterations or 2, window=args.window,
+            )
+        else:
+            out, nrm_out, _ = fused_denoise(
+                pts, nrm, cfg, strategy=strategy,
+                iterations=args.iterations or 2, window=args.window,
+            )
     else:
         out, nrm_out, _ = denoise(
             pts, nrm, cfg, strategy=strategy, iterations=args.iterations or 2

@@ -344,3 +344,61 @@ def denoise_until_minimum_error(
 
     prev_pos, prev_err, _, _, _, it = jax.lax.while_loop(cond, body, init)
     return prev_pos, prev_err, it - 1
+
+
+def denoise_until_minimum_error_windowed(
+    points,
+    normals,
+    gt_points,
+    cfg: DenoiseConfig = DenoiseConfig(),
+    strategy: tuple[str, str, str] = DEFAULT_STRATEGY,
+    max_iterations: int = 64,
+    error_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = metrics.paper_distance,
+    tile: int = 256,
+    window: int = 256,
+    use_pallas: Optional[bool] = None,
+):
+    """Until-minimum-error driver at large-cloud scale.
+
+    Same best-iterate semantics as denoise_until_minimum_error
+    (Processor.py:141-185) but each step runs one windowed-engine
+    iteration (Pallas on TPU, XLA elsewhere) and the error check loops
+    on host — each single-iteration call is jit-cached, so the loop
+    costs one kernel launch + one error evaluation per step.
+
+    Returns (best_points, best_error_mean, iterations_done).
+    """
+    import jax as _jax
+
+    if use_pallas is None:
+        use_pallas = _jax.devices()[0].platform not in ("cpu",)
+    if use_pallas:
+        from .pallas_fused import pallas_denoise_hybrid as _engine_p
+
+        def step(p, n):
+            return _engine_p(
+                p, n, cfg, strategy=strategy, iterations=1,
+                tile=tile, window=window,
+            )
+    else:
+        from .fused import fused_denoise as _engine_f
+
+        def step(p, n):
+            return _engine_f(
+                p, n, cfg, strategy=strategy, iterations=1,
+                tile=tile, window=window, threshold_refresh=0,
+            )
+
+    pos, nrm = points, normals
+    prev_pos = pos
+    prev_err = float(jnp.mean(error_fn(gt_points, pos)))
+    it = 0
+    while it < max_iterations:
+        new_pos, new_nrm, _ = step(pos, nrm)
+        err = float(jnp.mean(error_fn(gt_points, new_pos)))
+        if err >= prev_err:
+            break
+        prev_pos, prev_err = new_pos, err
+        pos, nrm = new_pos, new_nrm
+        it += 1
+    return prev_pos, prev_err, it

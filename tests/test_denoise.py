@@ -139,3 +139,20 @@ def test_until_minimum_error_returns_best():
     assert e_best < e_noisy
     assert int(iters) >= 1
     np.testing.assert_allclose(float(err), e_best, rtol=1e-4)
+
+
+def test_until_minimum_error_windowed():
+    from ngpd_tpu.core.pipeline import denoise_until_minimum_error_windowed
+
+    pts, nrm = plane_grid(16)
+    key = jax.random.PRNGKey(2)
+    noisy = noise_mod.generate_noise(
+        key, jnp.asarray(pts), jnp.asarray(nrm), 0.3, jnp.asarray(1.0)
+    )
+    best, err, it = denoise_until_minimum_error_windowed(
+        noisy, jnp.asarray(nrm), jnp.asarray(pts),
+        max_iterations=6, tile=128, window=256, use_pallas=False,
+    )
+    e0 = float(jnp.mean(metrics.paper_distance(jnp.asarray(pts), noisy)))
+    assert err < e0
+    assert it >= 1
