@@ -33,7 +33,6 @@ import jax.numpy as jnp
 
 from ..config import PatchConfig
 from ..ops.knn import knn
-from ..ops.neighbors import Neighborhood
 from . import voting
 
 

@@ -15,8 +15,6 @@ The C++ app's pipeline (MeshViewer.cpp:769-1416):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .trimesh import TriMesh, face_normals_areas_centroids
+from .trimesh import TriMesh
 
 
 def _face_angles_deg(a: TriMesh, b: TriMesh) -> jnp.ndarray:

@@ -15,8 +15,6 @@ aggr = mean for the static convs, max for the dynamic ones
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

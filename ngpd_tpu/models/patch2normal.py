@@ -19,8 +19,6 @@ edge_index.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

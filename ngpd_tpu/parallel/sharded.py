@@ -20,7 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 try:  # jax >= 0.8 moved shard_map out of experimental
     from jax import shard_map
 except ImportError:  # pragma: no cover
