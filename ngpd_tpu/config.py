@@ -73,8 +73,9 @@ class ModelConfig:
     leaky_slope: float = 0.2
     # Fixed patch size (nodes per patch) — the TPU-side replacement for the
     # reference's ragged per-patch graphs (Processor.py:50-81). 64 matches
-    # the legacy pipeline's padded patch size (DataUtils.py:40-70).
-    patch_size: int = 96
+    # the legacy pipeline's padded patch size (DataUtils.py:40-70) and
+    # PatchConfig.num_nodes.
+    patch_size: int = 64
     # Fixed intra-patch neighbor count carried with each patch.
     patch_k: int = 12
 

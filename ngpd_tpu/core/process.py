@@ -105,3 +105,42 @@ def preprocess_pointcloud(
     nbh2, _ = knn(noisy, k, exclude_self=True)
     noisy_n = orient_normals(noisy, pvt_normals(noisy, nbh2), nbh2)
     return noisy, noisy_n, gt_n
+
+
+def k_ring(nbh: Neighborhood, rings: int, cap: int = 64) -> Neighborhood:
+    """r-ring neighborhoods over the kNN graph.
+
+    Replaces Selector.getVectorizedKRing / getSparseVectorizedKRing
+    (Selector.py:147-203), which grow ragged BFS frontiers with python
+    batching or sparse matrix powers. Here ring expansion is iterated
+    dense index composition: ring r+1's candidates are the neighbors of
+    ring r's members, deduplicated into a fixed ``cap``-wide slot array.
+    Exact while the true ring size stays within ``cap``.
+    """
+    n, k = nbh.idx.shape
+    idx = jnp.where(nbh.mask, nbh.idx, jnp.arange(n, dtype=nbh.idx.dtype)[:, None])
+    cur_idx, cur_mask = idx, nbh.mask
+    for _ in range(rings - 1):
+        # Candidates: neighbors of current members -> (N, cur*k).
+        cand = idx[cur_idx].reshape(n, -1)
+        cand_mask = (nbh.mask[cur_idx] & cur_mask[..., None]).reshape(n, -1)
+        both = jnp.concatenate([cur_idx, cand], axis=1)
+        both_mask = jnp.concatenate([cur_mask, cand_mask], axis=1)
+        # Dedup by sorting; invalid slots pushed to the end as n.
+        key = jnp.where(both_mask, both, n)
+        order = jnp.argsort(key, axis=1)
+        sorted_ids = jnp.take_along_axis(key, order, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((n, 1), bool), sorted_ids[:, 1:] != sorted_ids[:, :-1]],
+            axis=1,
+        ) & (sorted_ids < n)
+        # Compact the unique members into cap slots.
+        rank = jnp.cumsum(first, axis=1) - 1
+        slot = jnp.where(first & (rank < cap), rank, cap)
+        out_idx = jnp.zeros((n, cap + 1), nbh.idx.dtype)
+        out_idx = out_idx.at[jnp.arange(n)[:, None], slot].set(sorted_ids)
+        out_mask = jnp.zeros((n, cap + 1), bool)
+        out_mask = out_mask.at[jnp.arange(n)[:, None], slot].set(first)
+        cur_idx = out_idx[:, :cap]
+        cur_mask = out_mask[:, :cap]
+    return Neighborhood(idx=jnp.where(cur_mask, cur_idx, 0), mask=cur_mask)

@@ -161,3 +161,24 @@ class TriMesh:
         center = (mn + mx) / 2.0
         scale = jnp.max(mx - mn)
         return self.with_vertices((self.v - center) / jnp.maximum(scale, 1e-30))
+
+
+def add_mesh_noise(
+    mesh: TriMesh,
+    key,
+    level: float,
+    noise_type: int = 0,
+    direction: int = 0,
+) -> TriMesh:
+    """Gaussian/impulsive vertex noise, stdev = level x avg edge length —
+    the mesh-noise generators (Mesh.py:322-333, Noise.cpp:22-187,
+    PatchCollector.NoiseGenerator)."""
+    from ..core import noise as noise_mod
+
+    mel = mesh.average_edge_length()
+    vn = mesh.vertex_normals()
+    noisy = noise_mod.generate_noise(
+        key, mesh.v, vn, level, mel, noise_type=noise_type,
+        direction=direction,
+    )
+    return mesh.with_vertices(noisy)

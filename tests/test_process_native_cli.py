@@ -135,3 +135,37 @@ def test_viz_outputs(tmp_path):
     eigvec = np.tile(np.eye(3), (len(pts), 1, 1))
     p3 = viz.plot_tensor_voting(pts, eigval, eigvec, out=tmp_path / "tv.png")
     assert p3.exists()
+
+
+def test_k_ring():
+    """k_ring matches a python BFS over the same kNN graph."""
+    from ngpd_tpu.core.process import k_ring
+    from ngpd_tpu.ops.knn import knn
+
+    pts, _ = plane_grid(8)
+    nbh, _ = knn(jnp.asarray(pts), 5, exclude_self=True)
+    r2 = k_ring(nbh, 2, cap=40)
+    idx = np.asarray(nbh.idx)
+    # Oracle BFS.
+    n = len(pts)
+    for i in (0, 10, 37):
+        ring1 = set(idx[i].tolist())
+        ring2 = set(ring1)
+        for j in ring1:
+            ring2 |= set(idx[j].tolist())
+        got = set(np.asarray(r2.idx[i])[np.asarray(r2.mask[i])].tolist())
+        assert got == ring2, (i, got ^ ring2)
+
+
+def test_add_mesh_noise():
+    from ngpd_tpu.meshproc.trimesh import TriMesh, add_mesh_noise
+    from fixtures import OCTA_F, OCTA_V
+
+    m = TriMesh.from_numpy(OCTA_V, OCTA_F)
+    noisy = add_mesh_noise(m, jax.random.PRNGKey(0), 0.3)
+    disp = np.asarray(noisy.v - m.v)
+    assert np.abs(disp).max() > 0
+    # Along-normal noise: displacement parallel to vertex normals.
+    vn = np.asarray(m.vertex_normals())
+    cross = np.linalg.norm(np.cross(disp, vn), axis=1)
+    np.testing.assert_allclose(cross, 0.0, atol=1e-6)
