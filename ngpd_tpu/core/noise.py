@@ -67,3 +67,30 @@ def generate_noise(
         rank = jnp.zeros(n, dtype=jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
         offset = jnp.where((rank < keep_count)[:, None], offset, 0.0)
     return points + offset
+
+
+def save_noise(noise_dir, points, noise_level, noise_type=GAUSSIAN,
+               direction=ALONG_NORMAL):
+    """Persist noisy positions (Noise.saveNoise, Noise.py:90-102): one
+    .npz per realization, named {type}_{direction}_{level}_{id}."""
+    from pathlib import Path
+
+    import numpy as np
+
+    d = Path(noise_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    noise_id = len(list(d.iterdir()))
+    name = f"{noise_type}_{direction}_{noise_level}_{noise_id}.npz"
+    np.savez_compressed(d / name, v=np.asarray(points))
+    return name
+
+
+def load_noise(file_path):
+    """Load persisted noisy positions (Noise.loadNoise, Noise.py:104-108)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    p = Path(file_path)
+    assert p.suffix == ".npz" and p.is_file(), p
+    return jnp.asarray(np.load(p)["v"])

@@ -104,3 +104,58 @@ class DGCNN(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn10")(h)
         h = nn.leaky_relu(h, 0.2)
         return nn.Dense(self.output_channels, name="linear4")(h)
+
+
+class BetterDGCNN(nn.Module):
+    """Parameterized DGCNN generalization — the reference's BetterDGCNN
+    (PatchGeneration/Modules/Network/GCNModel.py:217-297): configurable
+    counts of fixed-graph edge convs, dynamic kNN convs and head linears
+    with an explicit channel list.
+
+    channels: per-conv output widths, length num_edge_convs +
+    num_dynamic_convs; head_channels: the post-pool MLP widths.
+    """
+
+    channels: tuple = (64, 64, 128, 256, 256, 256)
+    num_edge_convs: int = 3
+    num_dynamic_convs: int = 3
+    head_channels: tuple = (512, 256, 64)
+    k: int = 8
+    emb_dims: int = 1024
+    dropout: float = 0.5
+    output_channels: int = 3
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert len(self.channels) == self.num_edge_convs + self.num_dynamic_convs
+        x = jnp.swapaxes(inputs[:, 0:17, :], 1, 2)
+        idx = jnp.swapaxes(inputs[:, 17:20, :].astype(jnp.int32), 1, 2)
+
+        outs = []
+        h = x
+        for i in range(self.num_edge_convs):
+            h = _ConvBlock(self.channels[i], train, name=f"conv{i}")(
+                _edge_features(h, idx)
+            )
+            outs.append(h)
+        for j in range(self.num_dynamic_convs):
+            i = self.num_edge_convs + j
+            h = _ConvBlock(self.channels[i], train, name=f"conv{i}")(
+                _edge_features(h, feature_knn(h, self.k))
+            )
+            outs.append(h)
+
+        h = jnp.concatenate(outs, axis=-1)
+        h = nn.Dense(self.emb_dims, use_bias=False, name="emb")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="emb_bn")(h)
+        h = nn.leaky_relu(h, 0.2)
+        h = jnp.concatenate([jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1)
+        for li, width in enumerate(self.head_channels):
+            h = nn.Dense(width, use_bias=li > 0, name=f"head{li}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name=f"head{li}_bn"
+            )(h)
+            h = nn.leaky_relu(h, 0.2)
+            if li < 2:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return nn.Dense(self.output_channels, name="out")(h)

@@ -117,3 +117,33 @@ def test_eval_step_metrics():
     model, state, tx = init_model(SMALL, TrainConfig(), jax.random.PRNGKey(5))
     m = make_eval_step(model)(state, _batch(rng, SMALL))
     assert set(m) == {"val_loss", "cos_loss", "custom_val_loss", "custom_cos_loss"}
+
+
+def test_better_dgcnn():
+    """BetterDGCNN (the reference's parameterized DGCNN) lowers and runs."""
+    from ngpd_tpu.models.dgcnn import BetterDGCNN
+
+    rng = np.random.default_rng(7)
+    m = BetterDGCNN(
+        channels=(16, 16, 32, 32), num_edge_convs=2, num_dynamic_convs=2,
+        head_channels=(32, 16, 8), k=4, emb_dims=64,
+    )
+    inp = np.concatenate(
+        [rng.normal(size=(3, 17, 16)).astype(np.float32),
+         rng.integers(0, 16, size=(3, 3, 16)).astype(np.float32)],
+        axis=1,
+    )
+    vs = m.init(jax.random.PRNGKey(0), jnp.asarray(inp), train=False)
+    out = m.apply(vs, jnp.asarray(inp), train=False)
+    assert out.shape == (3, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_noise_persistence(tmp_path):
+    from ngpd_tpu.core.noise import load_noise, save_noise
+
+    pts = np.random.default_rng(0).random((20, 3)).astype(np.float32)
+    name = save_noise(tmp_path, pts, 0.3)
+    assert name.startswith("0_0_0.3_")
+    back = np.asarray(load_noise(tmp_path / name))
+    np.testing.assert_allclose(back, pts, atol=1e-7)
