@@ -69,3 +69,50 @@ def test_pallas_all_strategies():
         tile=128, window=64, threshold_method="exact", interpret=True,
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hybrid_strategy_variants():
+    """The K2 layout branches (new/corner/dummy) lower and run in the
+    hybrid engine too."""
+    from ngpd_tpu.core.pallas_fused import pallas_denoise_hybrid
+
+    pts, nrm = sphere_cloud(128, seed=8)
+    for strat in (("new", "corner", "feature"), ("dummy", "edge", "corner")):
+        out, _, _ = pallas_denoise_hybrid(
+            jnp.asarray(pts), jnp.asarray(nrm), iterations=1,
+            strategy=strat, tile=128, window=64, interpret=True,
+        )
+        assert np.isfinite(np.asarray(out)).all(), strat
+
+
+def test_hybrid_matches_fused_on_real_asset():
+    """Hybrid vs fused on the reference fandisk (subsampled) — classes
+    and positions agree within window-approximation tolerances."""
+    from pathlib import Path
+
+    import pytest
+
+    ref = Path("/root/reference/models/fandisk_gaus_n6_noisy.obj")
+    if not ref.exists():
+        pytest.skip("reference assets not mounted")
+    from ngpd_tpu.core.fused import fused_denoise
+    from ngpd_tpu.core.pallas_fused import pallas_denoise_hybrid
+    from ngpd_tpu.io.obj import load_obj
+    from ngpd_tpu.core.normals import orient_normals, pvt_normals
+    from ngpd_tpu.ops.knn import knn
+
+    noisy = load_obj(ref).points[::8]
+    nbh, _ = knn(noisy, 12, exclude_self=True)
+    nrm = orient_normals(noisy, pvt_normals(noisy, nbh), nbh)
+    want, _, wc = fused_denoise(
+        noisy, nrm, iterations=1, tile=128, window=256, group=1,
+        threshold_method="exact", threshold_refresh=0,
+    )
+    got, _, gc = pallas_denoise_hybrid(
+        noisy, nrm, iterations=1, tile=128, window=256, interpret=True,
+    )
+    # Class boundaries are numerics-sensitive (polynomial acos, counting
+    # thresholds vs top_k); broad agreement is the contract on irregular
+    # real data.
+    agree = (np.asarray(gc) == np.asarray(wc)).mean()
+    assert agree > 0.95, agree
