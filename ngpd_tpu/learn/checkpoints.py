@@ -31,11 +31,20 @@ class CheckpointManager:
         self._scores_file.write_text(json.dumps(self._scores, indent=1))
 
     def save(self, step: int, state: Any, score: float) -> None:
-        """Keep the top-k lowest-score checkpoints (Manager.py:56-61)."""
+        """Keep the top-k lowest-score checkpoints (Manager.py:56-61).
+
+        A same-step directory left over from a PREVIOUS run is replaced
+        (a fresh run restarts step numbering; crashing mid-training on a
+        stale dir helps no one). The reference-style overwrite
+        protection (NetworkController.py:35-43) still applies to steps
+        saved within this manager's lifetime via the scores registry.
+        """
         name = f"step_{step}"
         path = self.dir / name
-        if path.exists():  # overwrite protection (NetworkController.py:35-43)
-            raise FileExistsError(path)
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
         self._ckpt.save(path, state)
         self._scores[name] = float(score)
         self._flush_scores()
