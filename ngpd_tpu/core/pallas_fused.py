@@ -1439,7 +1439,9 @@ def pallas_denoise_hybrid(
     """Hybrid engine: Pallas window reductions + XLA per-point math.
 
     Lagged-delta, stale-threshold semantics (see pallas_denoise); the
-    fastest configuration for large clouds.
+    fastest configuration for large clouds. ``threshold_method`` is kept
+    for API symmetry but unused: the prologue always runs the exact
+    in-VMEM counting search (K0).
     """
     iters = cfg.iterations if iterations is None else iterations
     n_in = points.shape[0]
