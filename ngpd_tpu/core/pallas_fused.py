@@ -1107,11 +1107,7 @@ def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig):
 
 
 def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta):
-    """All class-independent window sums for the update stage.
-
-    Every m8-weighted sum rides ONE MXU contraction against an in-kernel
-    feature-row matrix (52 separate lane-reduces cost ~2x more than the
-    single dot + transpose)."""
+    """All class-independent window sums for the update stage."""
     import math
 
     cos_rho = math.cos(cfg.angle)
@@ -1140,43 +1136,28 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta):
         mkf = mk.astype(jnp.float32)
         wsum0 = jnp.sum(wf0, axis=1, keepdims=True)
         wf = jnp.where(wsum0 == 0.0, mkf, wf0)
-        wsumn = jnp.maximum(jnp.sum(wf, axis=1, keepdims=True), 1.0)
-        t6_t = jax.lax.dot_general(
-            wf / wsumn, wr[9:15], (((1,), (1,)), ((), ())), precision=_HI,
-            preferred_element_type=jnp.float32,
-        )  # (T, 6)
-        rows = [jnp.transpose(t6_t)]
+        wsumn = jnp.maximum(jnp.sum(wf, axis=1), 1.0)
+        rows = [(_wsum(wf, wr[9 + r]) / wsumn)[None, :] for r in range(6)]
 
-        # Step-kNN mask; feature-row matrix for the single m8 dot.
+        # Step-kNN mask and the shared sums.
         rk8 = jnp.transpose(tq[9:10, :])
         m8f = ((d <= rk8) & (d < 1e30)).astype(jnp.float32)
         nnv = wr[5:8] * wr[8][None, :]
-        feat = [wr[9:15], nnv, wr[15:18]]  # s6(6), b_nv(3), sv(3)
+        for r in range(6):  # s6
+            rows.append(_wsum(m8f, wr[9 + r])[None, :])
+        for r in range(3):  # b_nv
+            rows.append(_wsum(m8f, nnv[r])[None, :])
+        for r in range(3):  # sv
+            rows.append(_wsum(m8f, wr[15 + r])[None, :])
         if use_edge:
-            qrows = []
+            # Q[c,a,b] = sum_j m8 n_c n_a p_b — 27 rows.
             for c in range(3):
                 for a in range(3):
                     base = wr[5 + c] * wr[5 + a]
                     for b in range(3):
-                        qrows.append((base * wr[15 + b])[None, :])
-            feat.append(jnp.concatenate(qrows, axis=0))  # q27
-        feat.append(jnp.ones((1, wt), jnp.float32))  # deg
-        feat_rows = jnp.concatenate(feat, axis=0)
-        nfeat = feat_rows.shape[0]
-        pad = (-nfeat) % 8
-        if pad:
-            feat_rows = jnp.concatenate(
-                [feat_rows, jnp.zeros((pad, wt), jnp.float32)], axis=0
-            )
-        sums = jnp.transpose(
-            jax.lax.dot_general(
-                m8f, feat_rows, (((1,), (1,)), ((), ())), precision=_HI,
-                preferred_element_type=jnp.float32,
-            )
-        )  # (nfeat+pad, T)
-        q_end = 12 + (27 if use_edge else 0)
-        rows.append(sums[0:q_end])        # s6, b_nv, sv(, q27)
-
+                        rows.append(
+                            _wsum(m8f, base * wr[15 + b])[None, :]
+                        )
         dotj = wr[8][None, :] - cross  # n_j . (p_j - p_i)
         if use_flat:
             delta = scal_ref[1, 0]
@@ -1191,20 +1172,16 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta):
             delta = scal_ref[2, 0]
             d2 = jnp.maximum(delta * delta, 1e-30)
             like = jnp.exp(-9.0 * dotj * dotj / d2) * m8f
-            new_rows = jnp.concatenate([wr[9:15], nnv, wr[15:18]], axis=0)
-            pad_n = (-12) % 8
-            if pad_n:
-                new_rows = jnp.concatenate(
-                    [new_rows, jnp.zeros((pad_n, wt), jnp.float32)], axis=0
-                )
-            new_sums = jnp.transpose(
-                jax.lax.dot_general(
-                    like, new_rows, (((1,), (1,)), ((), ())), precision=_HI,
-                    preferred_element_type=jnp.float32,
-                )
-            )
-            rows.append(new_sums[0:12])
-        rows.append(sums[q_end : q_end + 1])  # deg
+            for r in range(6):
+                rows.append(_wsum(like, wr[9 + r])[None, :])
+            for r in range(3):
+                rows.append(_wsum(like, nnv[r])[None, :])
+            for r in range(3):
+                rows.append(_wsum(like, wr[15 + r])[None, :])
+        # deg + per-point delta ingredients.
+        rows.append(jnp.sum(m8f, axis=1)[None, :])
+        for r in range(3):  # sum_j m8 p_j
+            rows.append(_wsum(m8f, wr[15 + r])[None, :])
         for ci in range(len(needs_delta)):
             cen = (scal_ref[4 + ci, 0], scal_ref[4 + ci, 1], scal_ref[4 + ci, 2])
             dist2 = (
@@ -1213,7 +1190,7 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta):
                 + (cen[0] ** 2 + cen[1] ** 2 + cen[2] ** 2)
             )
             rows.append(jnp.max(m8f * dist2[None, :], axis=1)[None, :])
-        total = sum(r.shape[0] for r in rows)
+        total = len(rows)
         pad = (-total) % 8
         if pad:
             rows.append(jnp.zeros((pad, t_sz), jnp.float32))
@@ -1237,7 +1214,7 @@ def _k2_layout(strategy, needs_delta):
     if "new" in strategy:
         lay["new"] = o; o += 12
     lay["deg"] = o; o += 1
-    lay["jp"] = lay["sv"]  # identical sums — aliased, not re-emitted
+    lay["jp"] = o; o += 3
     lay["maxd"] = o; o += len(needs_delta)
     lay["_total"] = o + ((-o) % 8)
     return lay
