@@ -53,6 +53,27 @@ def pvt_normals(points: jnp.ndarray, nbh: Neighborhood) -> jnp.ndarray:
     return eigvec[..., :, 0]
 
 
+def tangent_basis(points: jnp.ndarray, nbh: Neighborhood):
+    """Per-point orthonormal frame (normal, x_basis, y_basis).
+
+    The reference exposes this through DeltaConv's estimate_basis
+    (GraphBuilder.getDeltaconvCoordinates / setNormalsDeltaconv,
+    GraphBuilder.py:84-96): PCA of the kNN neighborhood yields the
+    normal (smallest-eigenvalue eigenvector) plus the dominant tangent
+    direction. Both fall out of the same closed-form eigh used by
+    pvt_normals; the frame is completed right-handed with a cross
+    product (so det[n | t1 | t2] = +1).
+
+    Returns (normal, x_basis, y_basis), each (N, 3) unit vectors.
+    """
+    _, eigvec = pvt_decomposition(points, nbh)
+    nrm = eigvec[..., :, 0]
+    t1 = eigvec[..., :, 2]  # largest-eigenvalue direction
+    t2 = jnp.cross(nrm, t1)
+    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-12)
+    return nrm, t1, t2
+
+
 @functools.partial(jax.jit, static_argnames=("max_sweeps",))
 def orient_normals(
     points: jnp.ndarray,

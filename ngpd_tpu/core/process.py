@@ -107,6 +107,59 @@ def preprocess_pointcloud(
     return noisy, noisy_n, gt_n
 
 
+@functools.partial(jax.jit, static_argnames=("k", "cap"))
+def laplacian_neighborhood(points: jnp.ndarray, k: int = 12, cap: Optional[int] = None):
+    """Symmetrized kNN graph + lumped masses — the TPU-native stand-in
+    for the robust point-cloud-Laplacian connectivity the reference
+    attaches to its graph (GraphBuilder.setTriangleGraphWithFlippedNormals
+    / getLaplacianEdgeIndex, GraphBuilder.py:54-70).
+
+    The reference builds edges and a lumped mass matrix on the host via
+    robust_laplacian (local Delaunay tufting). The dense static-shape
+    equivalent is the union-symmetrized kNN graph: j ~ i iff
+    j in kNN(i) or i in kNN(j), so every edge is bidirectional like a
+    Laplacian stencil; the lumped mass is the k-th-NN-radius area
+    estimate (pi r_k^2 / k, core/patches.point_masses, which replaces
+    the same robust_laplacian mass at Selector.py:249-262). Reverse
+    edges beyond ``cap`` (default 2k) slots per point are dropped —
+    rare on surface-sampled clouds where in-degree concentrates near k.
+
+    Returns (Neighborhood (N, cap), mass (N,)).
+    """
+    from .patches import point_masses
+
+    if cap is None:
+        cap = 2 * k
+    n = points.shape[0]
+    nbh, dists = knn(points, k, exclude_self=True)
+    idx32 = nbh.idx.astype(jnp.int32)
+    # Reverse edges: group the flat (src -> tgt) list by tgt via sort,
+    # then slot each source at its rank within the group.
+    flat_t = jnp.where(nbh.mask, idx32, n).reshape(-1)
+    flat_s = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)
+    ).reshape(-1)
+    order = jnp.argsort(flat_t, stable=True)
+    st = flat_t[order]
+    ss = flat_s[order]
+    rank = jnp.arange(n * k, dtype=jnp.int32) - jnp.searchsorted(
+        st, st, side="left"
+    ).astype(jnp.int32)
+    rev_idx = jnp.zeros((n, cap), jnp.int32).at[st, rank].set(ss, mode="drop")
+    rev_mask = jnp.zeros((n, cap), bool).at[st, rank].set(True, mode="drop")
+    # Union forward + reverse, dedup by sorting (k_ring's idiom).
+    both = jnp.concatenate([jnp.where(nbh.mask, idx32, n), jnp.where(rev_mask, rev_idx, n)], axis=1)
+    sorted_ids = jnp.sort(both, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((n, 1), bool), sorted_ids[:, 1:] != sorted_ids[:, :-1]], axis=1
+    ) & (sorted_ids < n)
+    slot = jnp.where(first, jnp.cumsum(first, axis=1) - 1, cap)
+    rows = jnp.arange(n)[:, None]
+    out_idx = jnp.zeros((n, cap), jnp.int32).at[rows, slot].set(sorted_ids, mode="drop")
+    out_mask = jnp.zeros((n, cap), bool).at[rows, slot].set(first, mode="drop")
+    return Neighborhood(idx=out_idx, mask=out_mask), point_masses(dists, k)
+
+
 def k_ring(nbh: Neighborhood, rings: int, cap: int = 64) -> Neighborhood:
     """r-ring neighborhoods over the kNN graph.
 

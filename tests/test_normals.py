@@ -67,3 +67,46 @@ def test_orient_plane_consistent():
     assert (oriented[:, 2] > 0).all() or (oriented[:, 2] < 0).all()
     # Seed is max-z with n_z forced positive -> +z everywhere.
     assert (oriented[:, 2] > 0).all()
+
+
+def test_tangent_basis_orthonormal_right_handed():
+    from ngpd_tpu.core.normals import tangent_basis
+
+    pts, _ = sphere_cloud(200, seed=7)
+    nbh, _ = knn(jnp.asarray(pts), 10, exclude_self=True)
+    nrm, t1, t2 = tangent_basis(jnp.asarray(pts), nbh)
+    nrm, t1, t2 = map(np.asarray, (nrm, t1, t2))
+    for v in (nrm, t1, t2):
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose((nrm * t1).sum(1), 0.0, atol=1e-4)
+    np.testing.assert_allclose((nrm * t2).sum(1), 0.0, atol=1e-4)
+    np.testing.assert_allclose((t1 * t2).sum(1), 0.0, atol=1e-4)
+    det = np.linalg.det(np.stack([nrm, t1, t2], axis=2))
+    np.testing.assert_allclose(det, 1.0, atol=1e-4)
+    # The normal component agrees with pvt_normals up to sign.
+    ref = np.asarray(pvt_normals(jnp.asarray(pts), nbh))
+    np.testing.assert_allclose(np.abs((nrm * ref).sum(1)), 1.0, atol=1e-5)
+
+
+def test_laplacian_neighborhood_symmetric():
+    """Union-symmetrized kNN graph: every edge is bidirectional,
+    contains the plain kNN edges, has no self loops, positive mass."""
+    from ngpd_tpu.core.process import laplacian_neighborhood
+
+    pts, _ = sphere_cloud(150, seed=9)
+    k = 6
+    nbh, mass = laplacian_neighborhood(jnp.asarray(pts), k=k)
+    idx, msk = np.asarray(nbh.idx), np.asarray(nbh.mask)
+    assert (np.asarray(mass) > 0).all()
+    edges = {(i, int(j)) for i in range(len(pts)) for j, m in zip(idx[i], msk[i]) if m}
+    assert all(i != j for i, j in edges)
+    assert all((j, i) in edges for i, j in edges)
+    knn_nbh, _ = knn(jnp.asarray(pts), k, exclude_self=True)
+    kidx = np.asarray(knn_nbh.idx)
+    assert all(
+        (i, int(j)) in edges for i in range(len(pts)) for j in kidx[i]
+    )
+    # No duplicate slots per row.
+    for i in range(len(pts)):
+        row = idx[i][msk[i]]
+        assert len(row) == len(set(row.tolist()))
