@@ -147,3 +147,19 @@ def test_noise_persistence(tmp_path):
     assert name.startswith("0_0_0.3_")
     back = np.asarray(load_noise(tmp_path / name))
     np.testing.assert_allclose(back, pts, atol=1e-7)
+
+
+def test_export_roundtrip(tmp_path):
+    """jax.export blob reproduces the live predict step (the TorchScript
+    freeze/compare of modelTrans.py, TPU-native)."""
+    from ngpd_tpu.learn.export import export_predict, load_exported, save_exported
+
+    rng = np.random.default_rng(6)
+    model, state, _ = init_model(SMALL, TrainConfig(), jax.random.PRNGKey(6))
+    batch = _batch(rng, SMALL, valid=20)
+    blob = export_predict(model, state, batch)
+    save_exported(tmp_path / "model.shlo", blob)
+    frozen = load_exported(tmp_path / "model.shlo")
+    got = frozen(batch["x"], batch["nbr_idx"], batch["nbr_mask"], batch["node_mask"])
+    want = make_predict_step(model)(state, batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
