@@ -107,3 +107,54 @@ def test_impulsive_noise_fraction():
     moved = (np.abs(noisy - pts).sum(axis=1) > 0).mean()
     # A `level` fraction keeps noise (Noise.py:55-57).
     assert abs(moved - 0.2) < 0.01
+
+
+def test_mat_patch_roundtrip(tmp_path):
+    """Both reference .mat flavors load into (20, N) DGCNN inputs with
+    the reference's pad/triplet rules (datautils.py:40-70)."""
+    import numpy as np
+    from ngpd_tpu.io.matpatch import load_mat_patch, save_mat_patch
+
+    rng = np.random.default_rng(0)
+    f = 10
+    fea = rng.normal(size=(f, 17)).astype(np.float32)
+    gt = np.array([0.0, 0.0, 1.0], np.float32)
+
+    # DenoisingGCN flavor: square adjacency; node 0 isolated, node 1 one
+    # neighbor, node 2 two neighbors.
+    adj = np.zeros((f, f), np.uint8)
+    adj[1, 3] = 1
+    adj[2, [4, 5]] = 1
+    for i in range(3, f):
+        adj[i, [(i + 1) % f, (i + 2) % f, (i + 3) % f]] = 1
+    save_mat_patch(tmp_path / "a.mat", adj, fea, gt, center_norm=gt)
+    got = load_mat_patch(tmp_path / "a.mat", num_nodes=16)
+    assert got["x"].shape == (20, 16)
+    np.testing.assert_allclose(got["x"][:17, :f].T, fea, atol=1e-6)
+    assert got["x"][17:, 0].tolist() == [15, 15, 15]  # empty -> [N-1]*3
+    assert got["x"][17:, 1].tolist() == [3, 3, 3]  # one -> replicated
+    assert got["x"][17:, 2].tolist() == [4, 5, 5]  # two -> last dup
+    np.testing.assert_allclose(got["center_norm"], gt)
+
+    # PatchGeneration flavor: (F, 3) tri-adjacency with -1 fill + ROT.
+    tri = np.full((f, 3), -1, np.int64)
+    tri[0] = [1, 2, -1]
+    tri[1] = [0, -1, -1]
+    rot = np.eye(3, dtype=np.float32)
+    save_mat_patch(tmp_path / "b.mat", tri, fea, gt, rotation=rot)
+    got2 = load_mat_patch(tmp_path / "b.mat", num_nodes=16)
+    assert got2["x"].shape == (20, 16)
+    assert got2["x"][17:, 0].tolist() == [1, 2, 2]
+    assert got2["x"][17:, 1].tolist() == [0, 0, 0]
+    np.testing.assert_allclose(got2["rotation"], rot)
+
+    # The loaded input feeds the DGCNN directly.
+    import jax, jax.numpy as jnp
+    from ngpd_tpu.models.dgcnn import DGCNN
+
+    m = DGCNN(k=4, emb_dims=64)
+    batch = jnp.stack([jnp.asarray(got["x"]), jnp.asarray(got2["x"])])
+    vs = m.init(jax.random.PRNGKey(0), batch, train=False)
+    out = m.apply(vs, batch, train=False)
+    assert out.shape == (2, 3)
+    assert np.isfinite(np.asarray(out)).all()
