@@ -298,3 +298,10 @@ def md_transformation(
     mu = jnp.where(nbh.mask, mu, 0.0)
     t = jnp.einsum("nki,nkj->nij", nj_ref * mu[..., None], nj_ref)
     return Decomposition(*eigh3x3(t)), scale
+
+
+# FeatureDetection.ipynb cell 3 calls Decomposition.getVUFilteredNormals,
+# a symbol that does not exist in the reference modules (drift). The
+# intended operation — shown by the equivalent getMyFeatureDecomposition
+# chain (Processor.py:110-117) — is VU smoothing of the normals.
+vu_filtered_normals = vu_smoothed_normals

@@ -115,3 +115,40 @@ def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray
     """Safe L2 normalization (torch.nn.functional.normalize semantics)."""
     n = jnp.linalg.norm(v, axis=axis, keepdims=True)
     return v / jnp.maximum(n, eps)
+
+
+def neighborhood_triangles(nbh: "Neighborhood"):
+    """Triangles (i, a, b) whose three edges all exist in the graph.
+
+    The reference's GraphBuilder.getRobustLaplacianFaces calls a
+    TorchUtils.edge_to_faces that does not exist (GraphBuilder.py:72-75,
+    drift); the evidently intended behavior — meshing a symmetric edge
+    graph into triangle faces — is implemented here densely: for every
+    point i and every pair (a, b) of its neighbors, (i, a, b) is a face
+    iff b is also a neighbor of a. Each face is kept once (i < a < b).
+
+    Returns (tri (N*k*k, 3) int32, valid (N*k*k,) bool), padded; compact
+    with tri[valid] on the host.
+    """
+    idx = nbh.idx.astype(jnp.int32)
+    n, k = idx.shape
+    safe = jnp.where(nbh.mask, idx, n)
+    # b in neighbors(a): compare neighbors-of-neighbors against own slots.
+    non = jnp.where(
+        nbh.mask[idx] & nbh.mask[:, :, None], safe[idx], n + 1
+    )  # (N, k, k): neighbors of a_p
+    mutual = jnp.any(
+        non[:, :, None, :] == safe[:, None, :, None], axis=-1
+    )  # (N, k_p, k_q)
+    i = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    ordered = (i < safe[:, :, None]) & (safe[:, :, None] < safe[:, None, :])
+    ok = mutual & ordered & nbh.mask[:, :, None] & nbh.mask[:, None, :]
+    tri = jnp.stack(
+        [
+            jnp.broadcast_to(i, (n, k, k)),
+            jnp.broadcast_to(idx[:, :, None], (n, k, k)),
+            jnp.broadcast_to(idx[:, None, :], (n, k, k)),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    return tri, ok.reshape(-1)

@@ -123,3 +123,33 @@ def test_nvt_features_sum():
     np.testing.assert_allclose(
         np.asarray(p) + np.asarray(l) + np.asarray(s), 1.0, atol=1e-3
     )
+
+
+def test_neighborhood_triangles_octahedron():
+    """edge_to_faces intended behavior (GraphBuilder.py:72-75 drift):
+    the k=4 kNN graph of the octahedron meshes into exactly its 8 faces."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ngpd_tpu.ops.knn import knn
+    from ngpd_tpu.ops.neighbors import neighborhood_triangles
+
+    pts = jnp.asarray(
+        np.array(
+            [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+            np.float32,
+        )
+    )
+    nbh, _ = knn(pts, 4, exclude_self=True)
+    tri, valid = neighborhood_triangles(nbh)
+    faces = {tuple(t) for t in np.asarray(tri)[np.asarray(valid)].tolist()}
+    want = {
+        (0, 2, 4), (0, 2, 5), (0, 3, 4), (0, 3, 5),
+        (1, 2, 4), (1, 2, 5), (1, 3, 4), (1, 3, 5),
+    }
+    assert faces == want, faces
+
+
+def test_vu_filtered_normals_alias():
+    from ngpd_tpu.core import voting
+
+    assert voting.vu_filtered_normals is voting.vu_smoothed_normals
