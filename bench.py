@@ -24,7 +24,8 @@ import numpy as np
 
 def make_cloud(n: int, seed: int = 0):
     """A wavy surface patch — surface-like density so the voxel grid is
-    representative (a random volume fill would be too easy)."""
+    representative (a random volume fill would be too easy). Returns
+    (noisy, normals, clean) so the bench can also score quality."""
     rng = np.random.default_rng(seed)
     side = int(np.sqrt(n))
     xs = np.linspace(0.0, 10.0, side, dtype=np.float32)
@@ -38,7 +39,8 @@ def make_cloud(n: int, seed: int = 0):
     # Noise along z.
     noise = rng.normal(scale=0.02, size=(len(pts), 1)).astype(np.float32)
     normals = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (len(pts), 1))
-    return (pts + normals * noise).astype(np.float32), normals
+    clean = pts.astype(np.float32)
+    return (pts + normals * noise).astype(np.float32), normals, clean
 
 
 def main():
@@ -57,7 +59,7 @@ def main():
     iters = int(os.environ.get("NGPD_BENCH_ITERS", 20))
     k = int(os.environ.get("NGPD_BENCH_K", 32))
 
-    pts_np, nrm_np = make_cloud(n)
+    pts_np, nrm_np, clean_np = make_cloud(n)
     pts = jnp.asarray(pts_np)
     nrm = jnp.asarray(nrm_np)
 
@@ -97,6 +99,23 @@ def main():
         sync(out)
         best = min(best, time.perf_counter() - t0)
 
+    # Quality gate at the benched settings: speed must not silently cost
+    # accuracy. The synthetic cloud has a known clean surface, so score
+    # the CD improvement on a subsample (full 1M x 1M CD is O(N^2)).
+    from ngpd_tpu.ops import metrics as _metrics
+
+    q = min(n, 20_000)
+    sel = np.random.default_rng(1).choice(n, size=q, replace=False)
+    clean_s = jnp.asarray(clean_np[sel])
+    cd_noisy = float(
+        jnp.mean(_metrics.chamfer_distance(clean_s, jnp.asarray(pts_np[sel])))
+    )
+    out_np = np.asarray(out)
+    cd_out = float(
+        jnp.mean(_metrics.chamfer_distance(clean_s, jnp.asarray(out_np[sel])))
+    )
+    ratio = cd_out / max(cd_noisy, 1e-30)
+
     value = n * iters / best
     target = 20e6  # 1M pts x 20 iters in 1 s
     print(
@@ -106,9 +125,20 @@ def main():
                 "value": round(value, 1),
                 "unit": "point-iterations/s",
                 "vs_baseline": round(value / target, 4),
+                "quality_cd_ratio": round(ratio, 4),
+                "quality_cd_noisy": round(cd_noisy, 8),
+                "quality_cd_denoised": round(cd_out, 8),
             }
         )
     )
+    if ratio > 0.5:
+        # A regression in the fast engine would show up here long before
+        # it shows up in the throughput number.
+        print(
+            f"WARNING: quality gate ratio {ratio:.3f} > 0.5 — the benched "
+            "engine is not actually denoising at these settings",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -62,12 +62,11 @@ def cmd_denoise(args):
         if not args.gt:
             raise SystemExit("--until-min requires --gt")
         gt = _load_cloud(args.gt).points
-        out, err, iters = denoise_until_minimum_error(
+        out, nrm_out, err, iters = denoise_until_minimum_error(
             pts, nrm, gt, cfg, strategy=strategy,
             max_iterations=args.iterations or 64,
         )
         print(f"stopped after {int(iters)} iterations, error {float(err):.4e}")
-        nrm_out = nrm
     elif args.fused or len(cloud) >= 100_000:
         import jax
 
@@ -167,9 +166,20 @@ def cmd_predict_normals(args):
     print(f"wrote {args.output}")
 
 
-def cmd_denoise_mesh(args):
-    import jax.numpy as jnp
+def _load_dgcnn_ckpt(path: str):
+    """Checkpoint file of either lineage -> Flax DGCNN variables:
+    ``.npz`` (ngpd_tpu weight archives) or ``.t7``/``.pt`` (reference
+    torch state dicts / TorchScript exports)."""
+    if path.endswith(".npz"):
+        from ..learn.weights import load_dgcnn_npz
 
+        return load_dgcnn_npz(path)
+    from ..learn.torch_interop import load_dgcnn_from_torch
+
+    return load_dgcnn_from_torch(path)
+
+
+def cmd_denoise_mesh(args):
     from ..config import GNFConfig
     from ..io.obj import read_obj, save_obj
     from ..meshproc import metrics as mesh_metrics
@@ -184,19 +194,47 @@ def cmd_denoise_mesh(args):
         normal_iterations=args.normal_iterations,
         vertex_iterations=args.vertex_iterations,
     )
-    # Guidance: GT normals when given (the GCN-prediction slot), else the
-    # mesh's own normals bilaterally pre-smoothed by one GNF round.
+    gt_mesh = None
     if args.gt:
         gt_data = read_obj(args.gt)
         gt_mesh = TriMesh.from_numpy(gt_data.v, gt_data.fv)
-        guidance, _, _ = gt_mesh.face_data()
+        print(
+            "Ea before: "
+            f"{float(mesh_metrics.mean_angular_error(mesh, gt_mesh)):.3f} deg"
+        )
+
+    if args.ckpt:
+        # The app's flagship flow (MeshViewer.cpp:769-1416): GCN patch
+        # normals guide the filter, optionally a second pass with
+        # rebuilt neighborhoods (--gcns, the box_gcns knob).
+        from ..meshproc.gcn_denoiser import gcn_denoise_mesh
+        from ..models.dgcnn import DGCNN
+
+        out = gcn_denoise_mesh(
+            mesh,
+            DGCNN(),
+            _load_dgcnn_ckpt(args.ckpt),
+            passes=args.gcns,
+            gnf_cfg=cfg,
+            batch_size=args.batch_size,
+        )
     else:
-        guidance, _, _ = mesh.face_data()
-    out = guided_normal_filter(mesh, guidance, cfg)
+        # Guidance: GT normals when given (the prediction-slot oracle),
+        # else the mesh's own normals.
+        if gt_mesh is not None:
+            guidance, _, _ = gt_mesh.face_data()
+        else:
+            guidance, _, _ = mesh.face_data()
+        out = guided_normal_filter(mesh, guidance, cfg)
+        for _ in range(args.gcns - 1):
+            guidance, _, _ = (
+                gt_mesh.face_data() if gt_mesh is not None else out.face_data()
+            )
+            out = guided_normal_filter(out, guidance, cfg)
     colors = None
-    if args.gt:
+    if gt_mesh is not None:
         ea = float(mesh_metrics.mean_angular_error(out, gt_mesh))
-        print(f"Ea: {ea:.3f} deg")
+        print(f"Ea after: {ea:.3f} deg")
         if args.error_map:
             colors = mesh_metrics.error_map_colors(out, gt_mesh)
     save_obj(
@@ -248,10 +286,20 @@ def main(argv=None):
     pr.add_argument("--ckpt", default=None)
     pr.set_defaults(fn=cmd_predict_normals)
 
-    dm = sub.add_parser("denoise-mesh", help="guided normal filtering")
+    dm = sub.add_parser("denoise-mesh", help="GCN + guided normal filtering")
     dm.add_argument("input")
     dm.add_argument("-o", "--output", required=True)
     dm.add_argument("--gt", default=None)
+    dm.add_argument(
+        "--ckpt",
+        default=None,
+        help="DGCNN weights (.npz archive, or reference .t7/.pt)",
+    )
+    dm.add_argument(
+        "--gcns", type=int, default=1,
+        help="number of GCN+GNF passes (the app's box_gcns knob)",
+    )
+    dm.add_argument("--batch-size", type=int, default=720)
     dm.add_argument("--normal-iterations", type=int, default=12)
     dm.add_argument("--vertex-iterations", type=int, default=16)
     dm.add_argument("--error-map", action="store_true")

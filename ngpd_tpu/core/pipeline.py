@@ -304,7 +304,10 @@ def denoise_until_minimum_error(
     (Processor.py:141-185), with the error check on device inside a
     lax.while_loop instead of a host-side Python while.
 
-    Returns (best_points, best_error_mean, iterations_done).
+    Returns (best_points, best_normals, best_error_mean,
+    iterations_done). The reference only returns positions and leaves
+    the caller's normals stale (Processor.py:185); returning the best
+    iterate's smoothed normals is the deliberate drift fix.
     """
     max_iters = cfg.max_iterations if max_iterations is None else max_iterations
     d_arr = jnp.asarray(d, dtype=points.dtype)
@@ -328,22 +331,26 @@ def denoise_until_minimum_error(
             cfg.vu_damping,
         )
 
-    # Carry: (prev_pos, prev_err, cur_pos, cur_nrm, cur_err, iters).
-    # Initial prev_err = err0 + 200 (Processor.py:153).
-    init = (points, err0 + 200.0, points, normals, err0, jnp.int32(0))
+    # Carry: (prev_pos, prev_nrm, prev_err, cur_pos, cur_nrm, cur_err,
+    # iters). Initial prev_err = err0 + 200 (Processor.py:153).
+    init = (
+        points, normals, err0 + 200.0, points, normals, err0, jnp.int32(0)
+    )
 
     def cond(c):
-        _, prev_err, _, _, cur_err, it = c
+        _, _, prev_err, _, _, cur_err, it = c
         return jnp.logical_and(cur_err < prev_err, it < max_iters)
 
     def body(c):
-        _, _, pos, nrm, cur_err, it = c
+        _, _, _, pos, nrm, cur_err, it = c
         new_pos, f_n, _ = one_step(pos, nrm)
         new_err = jnp.mean(error_fn(gt_points, new_pos))
-        return (pos, cur_err, new_pos, f_n, new_err, it + 1)
+        return (pos, nrm, cur_err, new_pos, f_n, new_err, it + 1)
 
-    prev_pos, prev_err, _, _, _, it = jax.lax.while_loop(cond, body, init)
-    return prev_pos, prev_err, it - 1
+    prev_pos, prev_nrm, prev_err, _, _, _, it = jax.lax.while_loop(
+        cond, body, init
+    )
+    return prev_pos, prev_nrm, prev_err, it - 1
 
 
 def denoise_until_minimum_error_windowed(
@@ -366,7 +373,8 @@ def denoise_until_minimum_error_windowed(
     on host — each single-iteration call is jit-cached, so the loop
     costs one kernel launch + one error evaluation per step.
 
-    Returns (best_points, best_error_mean, iterations_done).
+    Returns (best_points, best_normals, best_error_mean,
+    iterations_done).
     """
     import jax as _jax
 
@@ -390,7 +398,7 @@ def denoise_until_minimum_error_windowed(
             )
 
     pos, nrm = points, normals
-    prev_pos = pos
+    prev_pos, prev_nrm = pos, nrm
     prev_err = float(jnp.mean(error_fn(gt_points, pos)))
     it = 0
     while it < max_iterations:
@@ -398,7 +406,7 @@ def denoise_until_minimum_error_windowed(
         err = float(jnp.mean(error_fn(gt_points, new_pos)))
         if err >= prev_err:
             break
-        prev_pos, prev_err = new_pos, err
+        prev_pos, prev_nrm, prev_err = new_pos, new_nrm, err
         pos, nrm = new_pos, new_nrm
         it += 1
-    return prev_pos, prev_err, it
+    return prev_pos, prev_nrm, prev_err, it

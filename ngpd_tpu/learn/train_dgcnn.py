@@ -1,0 +1,231 @@
+"""Legacy-track trainer: the DGCNN patch->normal regression.
+
+The reference trains this network twice over — DenoisingGCN/train.py
+(Adam lr=1e-4, loss = alpha*cosine_embedding + beta*mse with alpha=0,
+beta=1, train.py:92-124) and NetworkController.NetworkTrainer
+(PatchGeneration/Modules/Network/NetworkController.py:54-185) — always
+on one CUDA GPU. Here the train step is jitted over a
+``jax.sharding.Mesh`` and the batch is placed with a ``dp``-sharded
+NamedSharding, so the same code runs 1-chip or N-chip (GSPMD inserts
+the gradient all-reduce); without a mesh it is a plain ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.dgcnn import DGCNN
+from .train import EarlyStopping, MetricLogger, TrainState
+
+
+def init_dgcnn(
+    rng: jax.Array,
+    emb_dims: int = 1024,
+    learning_rate: float = 1e-4,
+    num_nodes: int = 64,
+):
+    """Model + state + optimizer (DGCNN(8, 17, 1024, 0.5), Adam 1e-4 —
+    train.py:85-92 / parsers.py:8)."""
+    model = DGCNN(emb_dims=emb_dims)
+    dummy = jnp.zeros((2, 20, num_nodes), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    tx = optax.adam(learning_rate)
+    state = TrainState.create(variables, tx, rng)
+    return model, state, tx
+
+
+def dgcnn_losses(pred: jnp.ndarray, target: jnp.ndarray) -> dict:
+    """The legacy loss pair (train.py:96-97,124): cosine-embedding with
+    target 1 (mean of 1 - cos) and plain MSE."""
+    pn = pred / jnp.maximum(
+        jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12
+    )
+    tn = target / jnp.maximum(
+        jnp.linalg.norm(target, axis=-1, keepdims=True), 1e-12
+    )
+    cos = jnp.mean(1.0 - jnp.sum(pn * tn, axis=-1))
+    mse = jnp.mean((pred - target) ** 2)
+    # Mean angular error in degrees — the evaluation the C++ app prints
+    # (MeshDenoisingBase.cpp:145-165), handy to monitor directly.
+    ang = jnp.rad2deg(
+        jnp.mean(jnp.arccos(jnp.clip(jnp.sum(pn * tn, axis=-1), -1, 1)))
+    )
+    return {"cos_loss": cos, "mse_loss": mse, "angular_deg": ang}
+
+
+def make_dgcnn_train_step(
+    model: DGCNN,
+    tx: optax.GradientTransformation,
+    alpha: float = 0.0,
+    beta: float = 1.0,
+):
+    def step(state: TrainState, batch: dict):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["x"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            metrics = dgcnn_losses(out, batch["y"])
+            loss = alpha * metrics["cos_loss"] + beta * metrics["mse_loss"]
+            return loss, (metrics, updates["batch_stats"])
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                rng=rng,
+            ),
+            {**metrics, "loss": loss},
+        )
+
+    return step
+
+
+def make_dgcnn_eval_step(model: DGCNN):
+    def step(state: TrainState, batch: dict):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["x"],
+            train=False,
+        )
+        return dgcnn_losses(out, batch["y"])
+
+    return step
+
+
+class ShardStore:
+    """In-memory patch store streaming shuffled batches from the npz
+    shards written by meshproc.collector — the MatrixDataset/DataLoader
+    replacement (datautils.py:16-91) without worker processes: batches
+    are device-resident slices, not host-side collation."""
+
+    def __init__(self, shard_paths: Sequence[str], val_fraction: float = 0.1,
+                 seed: int = 0):
+        xs, ys = [], []
+        for p in shard_paths:
+            d = np.load(p)
+            xs.append(np.asarray(d["x"], np.float32))
+            ys.append(np.asarray(d["y"], np.float32))
+        x = np.concatenate(xs, axis=0)
+        y = np.concatenate(ys, axis=0)
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(len(x))
+        x, y = x[perm], y[perm]
+        n_val = int(len(x) * val_fraction)
+        self.val = {"x": x[:n_val], "y": y[:n_val]}
+        self.train = {"x": x[n_val:], "y": y[n_val:]}
+        self._rng = rng
+
+    def batches(
+        self, split: str, batch_size: int, shuffle: bool = True
+    ) -> Iterator[dict]:
+        data = getattr(self, split)
+        n = len(data["x"])
+        order = self._rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n - batch_size + 1, batch_size):
+            sel = order[s : s + batch_size]
+            yield {"x": data["x"][sel], "y": data["y"][sel]}
+
+
+def _batch_sharding(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None
+    return {
+        "x": NamedSharding(mesh, P("dp", None, None)),
+        "y": NamedSharding(mesh, P("dp", None)),
+    }
+
+
+def fit_dgcnn(
+    model: DGCNN,
+    state: TrainState,
+    tx: optax.GradientTransformation,
+    store: ShardStore,
+    batch_size: int = 256,
+    num_epochs: int = 24,
+    alpha: float = 0.0,
+    beta: float = 1.0,
+    patience: int = 10,
+    log_dir: str | Path = "logs/dgcnn",
+    checkpoint_dir: Optional[str | Path] = None,
+    mesh: Optional[Mesh] = None,
+) -> TrainState:
+    """Epoch loop (train.py:94-168): per-epoch validation, top-k
+    checkpoints, early stopping. With ``mesh``, state is replicated and
+    every batch is dp-sharded across the mesh before the jitted step."""
+    from .checkpoints import CheckpointManager
+
+    train_step = jax.jit(make_dgcnn_train_step(model, tx, alpha, beta))
+    eval_step = jax.jit(make_dgcnn_eval_step(model))
+    logger = MetricLogger(log_dir)
+    stopper = EarlyStopping(patience)
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+
+    bshard = _batch_sharding(mesh)
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, repl)
+
+    def put(batch):
+        if bshard is None:
+            return batch
+        return {k: jax.device_put(v, bshard[k]) for k, v in batch.items()}
+
+    best = state
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        agg: dict[str, list[float]] = {}
+        for batch in store.batches("train", batch_size):
+            state, metrics = train_step(state, put(batch))
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+        train_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+        logger.log(epoch, "train", train_metrics)
+
+        agg = {}
+        for batch in store.batches("val", batch_size, shuffle=False):
+            for k, v in eval_step(state, put(batch)).items():
+                agg.setdefault(k, []).append(float(v))
+        val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+        if not val_metrics:
+            val_metrics = dict(train_metrics)
+        logger.log(epoch, "val", val_metrics)
+        monitored = val_metrics["mse_loss"]
+        print(
+            f"epoch {epoch}: train mse {train_metrics['mse_loss']:.5f} "
+            f"val mse {monitored:.5f} val ang {val_metrics['angular_deg']:.2f}deg "
+            f"({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+        if ckpt is not None:
+            ckpt.save(epoch, state, monitored)
+        if monitored <= stopper.best:
+            best = state
+        if stopper.update(monitored):
+            print(f"early stop at epoch {epoch} (best {stopper.best:.5f})")
+            break
+    return best
+
+
+def dgcnn_variables(state: TrainState) -> dict:
+    return {"params": state.params, "batch_stats": state.batch_stats}

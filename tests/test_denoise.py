@@ -131,7 +131,7 @@ def test_until_minimum_error_returns_best():
     noisy = noise_mod.generate_noise(
         key, jnp.asarray(pts), jnp.asarray(nrm), 0.3, jnp.asarray(1.0)
     )
-    best, err, iters = denoise_until_minimum_error(
+    best, best_nrm, err, iters = denoise_until_minimum_error(
         noisy, jnp.asarray(nrm), jnp.asarray(pts), max_iterations=16
     )
     e_best = float(jnp.mean(metrics.paper_distance(jnp.asarray(pts), best)))
@@ -139,6 +139,12 @@ def test_until_minimum_error_returns_best():
     assert e_best < e_noisy
     assert int(iters) >= 1
     np.testing.assert_allclose(float(err), e_best, rtol=1e-4)
+    # Best-iterate normals ride along (the reference leaves them stale,
+    # Processor.py:185): unit length, plane orientation preserved (VU
+    # smoothing keeps the dominant eigvec ±z on a plane).
+    lens = np.linalg.norm(np.asarray(best_nrm), axis=1)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-4)
+    assert float(np.abs(np.asarray(best_nrm)[:, 2]).mean()) > 0.95
 
 
 def test_until_minimum_error_windowed():
@@ -149,7 +155,7 @@ def test_until_minimum_error_windowed():
     noisy = noise_mod.generate_noise(
         key, jnp.asarray(pts), jnp.asarray(nrm), 0.3, jnp.asarray(1.0)
     )
-    best, err, it = denoise_until_minimum_error_windowed(
+    best, _, err, it = denoise_until_minimum_error_windowed(
         noisy, jnp.asarray(nrm), jnp.asarray(pts),
         max_iterations=6, tile=128, window=256, use_pallas=False,
     )

@@ -90,7 +90,7 @@ def test_generated_noise_assets_denoise():
     # driver (returns the best iterate, so never worse than the input).
     from ngpd_tpu.core.pipeline import denoise_until_minimum_error
 
-    best, err, iters = denoise_until_minimum_error(
+    best, _, err, iters = denoise_until_minimum_error(
         noisy, nrm, gt, max_iterations=6
     )
     cd0, cd1 = _cd(noisy, gt), _cd(best, gt)

@@ -122,6 +122,54 @@ def test_cli_eval_and_denoise(tmp_path):
     main(["eval", str(gt_p), str(out_p)])
 
 
+def test_cli_denoise_mesh_with_gcn_ckpt(tmp_path, capsys):
+    """The app's flagship flow from the CLI: denoise-mesh --ckpt --gcns
+    (MeshViewer.cpp:769-1416 wired to the box_gcns knob)."""
+    import jax
+
+    from ngpd_tpu.apps.cli import main
+    from ngpd_tpu.io.obj import save_obj as save
+    from ngpd_tpu.learn.train_dgcnn import dgcnn_variables, init_dgcnn
+    from ngpd_tpu.learn.weights import save_variables_npz
+
+    n = 8
+    rng = np.random.default_rng(3)
+    xs, ys = np.meshgrid(
+        np.arange(n, dtype=np.float32), np.arange(n, dtype=np.float32)
+    )
+    v = np.stack(
+        [xs.ravel(), ys.ravel(), np.zeros(n * n, np.float32)], axis=1
+    )
+    f = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (
+                i * n + j, i * n + j + 1, (i + 1) * n + j, (i + 1) * n + j + 1
+            )
+            f.extend([[a, b, c], [b, d, c]])
+    f = np.asarray(f, np.int32)
+    clean_p = tmp_path / "clean.obj"
+    noisy_p = tmp_path / "noisy.obj"
+    out_p = tmp_path / "out.obj"
+    save(str(clean_p), v, faces=f)
+    noisy_v = v + 0.05 * rng.normal(size=v.shape).astype(np.float32)
+    save(str(noisy_p), noisy_v, faces=f)
+
+    _, state, _ = init_dgcnn(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "w.npz"
+    save_variables_npz(ckpt, jax.device_get(dgcnn_variables(state)))
+
+    main([
+        "denoise-mesh", str(noisy_p), "-o", str(out_p),
+        "--ckpt", str(ckpt), "--gcns", "1", "--batch-size", "128",
+        "--gt", str(clean_p), "--normal-iterations", "2",
+        "--vertex-iterations", "4",
+    ])
+    assert out_p.exists()
+    captured = capsys.readouterr().out
+    assert "Ea before:" in captured and "Ea after:" in captured
+
+
 def test_viz_outputs(tmp_path):
     from ngpd_tpu.apps import viz
 
