@@ -208,12 +208,13 @@ def cmd_denoise_mesh(args):
         # normals guide the filter, optionally a second pass with
         # rebuilt neighborhoods (--gcns, the box_gcns knob).
         from ..meshproc.gcn_denoiser import gcn_denoise_mesh
-        from ..models.dgcnn import DGCNN
+        from ..models.dgcnn import dgcnn_from_variables
 
+        variables = _load_dgcnn_ckpt(args.ckpt)
         out = gcn_denoise_mesh(
             mesh,
-            DGCNN(),
-            _load_dgcnn_ckpt(args.ckpt),
+            dgcnn_from_variables(variables),
+            variables,
             passes=args.gcns,
             gnf_cfg=cfg,
             batch_size=args.batch_size,

@@ -171,6 +171,20 @@ class MetricLogger:
             f.write(json.dumps(rec) + "\n")
 
 
+def _patch_batch_sharding(mesh):
+    """dp-sharded placement for the Patch2Normal batch dict."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = {
+        "x": P("dp", None, None),
+        "nbr_idx": P("dp", None, None),
+        "nbr_mask": P("dp", None, None),
+        "node_mask": P("dp", None),
+        "y": P("dp", None),
+    }
+    return {k: NamedSharding(mesh, s) for k, s in spec.items()}
+
+
 def fit(
     model: Patch2NormalModel,
     state: TrainState,
@@ -180,13 +194,34 @@ def fit(
     train_cfg: TrainConfig = TrainConfig(),
     log_dir: str | Path = "logs",
     checkpoint_dir: Optional[str | Path] = None,
+    mesh=None,
 ) -> TrainState:
     """Epoch loop with validation, early stopping, checkpointing — the
-    Manager.train/validate flow (Manager.py:73-143)."""
+    Manager.train/validate flow (Manager.py:73-143).
+
+    With ``mesh`` (a jax.sharding.Mesh with a "dp" axis) the state is
+    replicated once and every host batch is placed with a dp-sharded
+    NamedSharding before the jitted step — GSPMD inserts the gradient
+    all-reduce. This is the data-parallel layer the reference leaves
+    single-GPU (Config.py:43-44)."""
     from .checkpoints import CheckpointManager
 
     train_step = jax.jit(make_train_step(model, tx))
     eval_step = jax.jit(make_eval_step(model))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        bshard = _patch_batch_sharding(mesh)
+
+        def _put(batch):
+            return {k: jax.device_put(v, bshard[k]) for k, v in batch.items()}
+
+    else:
+
+        def _put(batch):
+            return batch
     logger = MetricLogger(log_dir)
     stopper = EarlyStopping(train_cfg.early_stopping_patience)
     ckpt = (
@@ -198,7 +233,7 @@ def fit(
     for epoch in range(train_cfg.num_epochs):
         agg: dict[str, list[float]] = {}
         for batch in train_batches():
-            state, metrics = train_step(state, batch)
+            state, metrics = train_step(state, _put(batch))
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
         train_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
@@ -206,7 +241,7 @@ def fit(
 
         agg = {}
         for batch in val_batches():
-            metrics = eval_step(state, batch)
+            metrics = eval_step(state, _put(batch))
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
         val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}

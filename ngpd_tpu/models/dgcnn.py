@@ -106,6 +106,16 @@ class DGCNN(nn.Module):
         return nn.Dense(self.output_channels, name="linear4")(h)
 
 
+def dgcnn_from_variables(variables) -> DGCNN:
+    """Construct the DGCNN whose hyperparameters match a loaded
+    variables tree (emb_dims from conv7's kernel, output width from
+    linear4) — so checkpoints of any size drive the right model."""
+    params = variables["params"]
+    emb_dims = int(params["conv7"]["kernel"].shape[-1])
+    out = int(params["linear4"]["kernel"].shape[-1])
+    return DGCNN(emb_dims=emb_dims, output_channels=out)
+
+
 class BetterDGCNN(nn.Module):
     """Parameterized DGCNN generalization — the reference's BetterDGCNN
     (PatchGeneration/Modules/Network/GCNModel.py:217-297): configurable

@@ -155,7 +155,9 @@ def test_cli_denoise_mesh_with_gcn_ckpt(tmp_path, capsys):
     noisy_v = v + 0.05 * rng.normal(size=v.shape).astype(np.float32)
     save(str(noisy_p), noisy_v, faces=f)
 
-    _, state, _ = init_dgcnn(jax.random.PRNGKey(0))
+    # Small emb: the CLI sizes the model from the checkpoint
+    # (dgcnn_from_variables), keeping this test fast.
+    _, state, _ = init_dgcnn(jax.random.PRNGKey(0), emb_dims=64)
     ckpt = tmp_path / "w.npz"
     save_variables_npz(ckpt, jax.device_get(dgcnn_variables(state)))
 
