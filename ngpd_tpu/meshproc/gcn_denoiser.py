@@ -15,6 +15,8 @@ The C++ app's pipeline (MeshViewer.cpp:769-1416):
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +25,14 @@ from ..models.dgcnn import DGCNN
 from .filtering import guided_normal_filter
 from .patches import extract_mesh_patches, unrotate_predictions
 from .trimesh import TriMesh
+
+
+@partial(jax.jit, static_argnums=0)
+def _fwd(model, variables, x):
+    # Module-level jit (model is a hashable frozen flax Module) so the
+    # DGCNN forward compiles ONCE per batch shape for the whole process
+    # — a per-call inner jit recompiled on every pass of every mesh.
+    return model.apply(variables, x, train=False)
 
 
 def predict_face_normals(
@@ -39,10 +49,6 @@ def predict_face_normals(
     patches = extract_mesh_patches(mesh, cfg=patch_cfg)
     nf = patches.inputs.shape[0]
 
-    @jax.jit
-    def fwd(x):
-        return model.apply(variables, x, train=False)
-
     outs = []
     for s in range(0, nf, batch_size):
         e = min(s + batch_size, nf)
@@ -50,7 +56,7 @@ def predict_face_normals(
         pad = batch_size - (e - s)
         if pad:
             chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0)))
-        outs.append(fwd(chunk)[: e - s])
+        outs.append(_fwd(model, variables, chunk)[: e - s])
     pred = jnp.concatenate(outs, axis=0)
     pred = pred / jnp.maximum(
         jnp.linalg.norm(pred, axis=1, keepdims=True), 1e-12

@@ -95,3 +95,50 @@ def test_generated_noise_assets_denoise():
     )
     cd0, cd1 = _cd(noisy, gt), _cd(best, gt)
     assert cd1 <= cd0 * 1.001, (cd0, cd1, int(iters))
+
+
+def test_gcn_normals_beat_noisy_on_golden_trimstar():
+    """The shipped checkpoint's patch-network normals must cut the
+    angular error of the golden trim-star mesh well below the noisy
+    input's (the GCN half of MeshViewer::slotDenoise; the GNF half is
+    covered by tests/test_train_e2e.py). One 720-face batch keeps this
+    CPU-affordable; the full-mesh numbers live in docs/GOLDEN.md."""
+    ckpt = Path(__file__).resolve().parents[1] / "assets" / "dgcnn_mesh.npz"
+    if not ckpt.exists():
+        pytest.skip("trained mesh checkpoint not built")
+    from ngpd_tpu.learn.weights import load_dgcnn_npz
+    from ngpd_tpu.meshproc.collector import load_mesh
+    from ngpd_tpu.meshproc.gcn_denoiser import _fwd
+    from ngpd_tpu.meshproc.patches import (
+        extract_mesh_patches,
+        unrotate_predictions,
+    )
+    from ngpd_tpu.models.dgcnn import dgcnn_from_variables
+
+    noisy = load_mesh(REF_MODELS / "trim-star_gaus_n3.obj")
+    clean = load_mesh(REF_MODELS / "trim-star.obj")
+    assert noisy.f.shape == clean.f.shape  # same topology, moved verts
+
+    variables = load_dgcnn_npz(ckpt)
+    model = dgcnn_from_variables(variables)
+    patches = extract_mesh_patches(noisy)
+    nf = patches.inputs.shape[0]
+    sel = np.linspace(0, nf - 1, 720).astype(np.int32)
+
+    pred = _fwd(model, variables, patches.inputs[sel])
+    pred = pred / jnp.maximum(
+        jnp.linalg.norm(pred, axis=1, keepdims=True), 1e-12
+    )
+    pred_world = unrotate_predictions(pred, patches.rotations[sel])
+
+    gt_n, _, _ = clean.face_data()
+    noisy_n, _, _ = noisy.face_data()
+
+    def ang(a, b):
+        d = jnp.abs(jnp.clip(jnp.sum(a * b, axis=1), -1, 1))
+        return float(jnp.mean(jnp.degrees(jnp.arccos(d))))
+
+    e_noisy = ang(noisy_n[sel], gt_n[sel])
+    e_pred = ang(pred_world, gt_n[sel])
+    # Full-mesh round-2 numbers: 28.8deg noisy -> 12.3deg after GCN+GNF.
+    assert e_pred < 0.62 * e_noisy, (e_noisy, e_pred)
