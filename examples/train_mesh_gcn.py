@@ -57,7 +57,9 @@ GOLDENS = [
 
 
 def build(args):
+    from ngpd_tpu.io.obj import save_obj
     from ngpd_tpu.meshproc.collector import build_mesh_dataset
+    from ngpd_tpu.meshproc.synthetic import cad_suite
 
     SHARDS.mkdir(parents=True, exist_ok=True)
     clean_paths = []
@@ -67,6 +69,14 @@ def build(args):
         dst.parent.mkdir(parents=True, exist_ok=True)
         if not dst.exists():
             shutil.copy(src, dst)
+        clean_paths.append(dst)
+    # Synthetic CAD primitives close the crease/corner gap the scan
+    # corpus leaves (docs/GOLDEN.md): boxes, cylinders, wedges, stairs,
+    # brackets with sharp convex AND concave dihedrals.
+    for name, mesh in cad_suite().items():
+        dst = WORK / "clean" / f"{name}.obj"
+        if not dst.exists():
+            save_obj(str(dst), np.asarray(mesh.v), faces=np.asarray(mesh.f))
         clean_paths.append(dst)
 
     t0 = time.time()

@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--points", type=int, default=6000)
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--skip-dataset", action="store_true")
+    ap.add_argument(
+        "--data-only", action="store_true",
+        help="generate the patch dataset and exit (run this stage with "
+        "JAX_PLATFORMS=cpu: per-shape sampling compiles are much faster "
+        "on the host than through the remote TPU compiler)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -91,6 +97,8 @@ def main():
         manifest = generate_dataset(raws, WORK / "ds", tcfg, pcfg)
         total = sum(s["count"] for s in manifest["shards"])
         print(f"dataset: {total} patches over {len(raws)} shapes")
+    if args.data_only:
+        return
 
     train_ds = PatchDataset(WORK / "ds", "train")
     val_ds = PatchDataset(WORK / "ds", "val")
