@@ -169,14 +169,20 @@ def fit_dgcnn(
     log_dir: str | Path = "logs/dgcnn",
     checkpoint_dir: Optional[str | Path] = None,
     mesh: Optional[Mesh] = None,
+    train_step=None,
+    eval_step=None,
 ) -> TrainState:
     """Epoch loop (train.py:94-168): per-epoch validation, top-k
     checkpoints, early stopping. With ``mesh``, state is replicated and
-    every batch is dp-sharded across the mesh before the jitted step."""
+    every batch is dp-sharded across the mesh before the jitted step.
+    Pass prebuilt jitted ``train_step``/``eval_step`` to reuse their
+    compile cache across several fits in one process."""
     from .checkpoints import CheckpointManager
 
-    train_step = jax.jit(make_dgcnn_train_step(model, tx, alpha, beta))
-    eval_step = jax.jit(make_dgcnn_eval_step(model))
+    if train_step is None:
+        train_step = jax.jit(make_dgcnn_train_step(model, tx, alpha, beta))
+    if eval_step is None:
+        eval_step = jax.jit(make_dgcnn_eval_step(model))
     logger = MetricLogger(log_dir)
     stopper = EarlyStopping(patience)
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
