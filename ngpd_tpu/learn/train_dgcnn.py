@@ -135,6 +135,23 @@ class ShardStore:
         self.val = {"x": x[:n_val], "y": y[:n_val]}
         self.train = {"x": x[n_val:], "y": y[n_val:]}
         self._rng = rng
+        self._dev: dict = {}
+
+    # See PatchDataset.DEVICE_STAGE_BYTES: staging the split on device
+    # once turns ~30 ms-per-batch tunnel transfers into ~1 ms on-device
+    # gathers.
+    DEVICE_STAGE_BYTES = 2 << 30
+
+    def _staged(self, split: str):
+        if split not in self._dev:
+            data = getattr(self, split)
+            total = data["x"].nbytes + data["y"].nbytes
+            self._dev[split] = (
+                {k: jnp.asarray(v) for k, v in data.items()}
+                if total <= self.DEVICE_STAGE_BYTES
+                else False
+            )
+        return self._dev[split]
 
     def batches(
         self, split: str, batch_size: int, shuffle: bool = True
@@ -142,9 +159,14 @@ class ShardStore:
         data = getattr(self, split)
         n = len(data["x"])
         order = self._rng.permutation(n) if shuffle else np.arange(n)
+        dev = self._staged(split)
         for s in range(0, n - batch_size + 1, batch_size):
             sel = order[s : s + batch_size]
-            yield {"x": data["x"][sel], "y": data["y"][sel]}
+            if dev:
+                idx = jnp.asarray(sel)
+                yield {k: jnp.take(v, idx, axis=0) for k, v in dev.items()}
+            else:
+                yield {"x": data["x"][sel], "y": data["y"][sel]}
 
 
 def _batch_sharding(mesh: Optional[Mesh]):
