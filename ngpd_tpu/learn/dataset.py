@@ -153,6 +153,14 @@ def generate_dataset(
     return manifest
 
 
+@jax.jit
+def _tree_take(data, idx):
+    """One compiled gather for a whole batch dict. Eager per-field
+    ``jnp.take`` calls would each compile a separate program — several
+    minutes apiece through a remote TPU compiler."""
+    return jax.tree_util.tree_map(lambda v: jnp.take(v, idx, axis=0), data)
+
+
 class PatchDataset:
     """Batch iterator over generated shards (the DataLoader equivalent,
     Manager.py:74-86 — no worker processes needed: batches are dense
@@ -207,8 +215,7 @@ class PatchDataset:
         for s in range(0, stop, batch_size):
             sel = order[s : s + batch_size]
             if dev:
-                idx = jnp.asarray(sel)
-                yield {k: jnp.take(v, idx, axis=0) for k, v in dev.items()}
+                yield _tree_take(dev, jnp.asarray(sel))
             else:
                 yield {
                     k: jnp.asarray(v[sel])

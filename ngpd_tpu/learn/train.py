@@ -62,6 +62,13 @@ def init_model(
     return model, state, tx
 
 
+@jax.jit
+def _acc_metrics(acc, metrics):
+    """Running on-device sum of a metrics dict — one async dispatch per
+    step instead of one blocking host transfer per metric."""
+    return jax.tree_util.tree_map(jnp.add, acc, metrics)
+
+
 def make_train_step(
     model: Patch2NormalModel,
     tx: optax.GradientTransformation,
@@ -231,20 +238,31 @@ def fit(
     )
 
     for epoch in range(train_cfg.num_epochs):
-        agg: dict[str, list[float]] = {}
+        # Metrics accumulate ON DEVICE; pulling each scalar to the host
+        # per step is a blocking round-trip that can dominate the step
+        # itself on remote devices.
+        acc, n_b = None, 0
+        last_beat = time.time()
         for batch in train_batches():
             state, metrics = train_step(state, _put(batch))
-            for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
-        train_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+            acc = metrics if acc is None else _acc_metrics(acc, metrics)
+            n_b += 1
+            if time.time() - last_beat > 120:
+                print(f"epoch {epoch}: step {n_b}...", flush=True)
+                last_beat = time.time()
+        train_metrics = (
+            {k: float(v) / n_b for k, v in acc.items()} if acc else {}
+        )
         logger.log(epoch, "train", train_metrics)
 
-        agg = {}
+        acc, n_b = None, 0
         for batch in val_batches():
             metrics = eval_step(state, _put(batch))
-            for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
-        val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+            acc = metrics if acc is None else _acc_metrics(acc, metrics)
+            n_b += 1
+        val_metrics = (
+            {k: float(v) / n_b for k, v in acc.items()} if acc else {}
+        )
         if not val_metrics:
             # Tiny datasets can yield zero full validation batches; fall
             # back to monitoring the training loss.

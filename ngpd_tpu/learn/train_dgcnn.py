@@ -24,6 +24,7 @@ from flax.core import FrozenDict
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.dgcnn import DGCNN
+from .dataset import _tree_take
 from .train import EarlyStopping, MetricLogger, TrainState
 
 
@@ -163,8 +164,7 @@ class ShardStore:
         for s in range(0, n - batch_size + 1, batch_size):
             sel = order[s : s + batch_size]
             if dev:
-                idx = jnp.asarray(sel)
-                yield {k: jnp.take(v, idx, axis=0) for k, v in dev.items()}
+                yield _tree_take(dev, jnp.asarray(sel))
             else:
                 yield {"x": data["x"][sel], "y": data["y"][sel]}
 
@@ -219,22 +219,34 @@ def fit_dgcnn(
             return batch
         return {k: jax.device_put(v, bshard[k]) for k, v in batch.items()}
 
+    from .train import _acc_metrics
+
     best = state
     for epoch in range(num_epochs):
         t0 = time.time()
-        agg: dict[str, list[float]] = {}
+        # On-device metric accumulation: per-step float() pulls are
+        # blocking round-trips that dominate on remote devices.
+        acc, n_b, last_beat = None, 0, time.time()
         for batch in store.batches("train", batch_size):
             state, metrics = train_step(state, put(batch))
-            for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
-        train_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+            acc = metrics if acc is None else _acc_metrics(acc, metrics)
+            n_b += 1
+            if time.time() - last_beat > 120:
+                print(f"epoch {epoch}: step {n_b}...", flush=True)
+                last_beat = time.time()
+        train_metrics = (
+            {k: float(v) / n_b for k, v in acc.items()} if acc else {}
+        )
         logger.log(epoch, "train", train_metrics)
 
-        agg = {}
+        acc, n_b = None, 0
         for batch in store.batches("val", batch_size, shuffle=False):
-            for k, v in eval_step(state, put(batch)).items():
-                agg.setdefault(k, []).append(float(v))
-        val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+            metrics = eval_step(state, put(batch))
+            acc = metrics if acc is None else _acc_metrics(acc, metrics)
+            n_b += 1
+        val_metrics = (
+            {k: float(v) / n_b for k, v in acc.items()} if acc else {}
+        )
         if not val_metrics:
             val_metrics = dict(train_metrics)
         logger.log(epoch, "val", val_metrics)
