@@ -23,23 +23,42 @@ import numpy as np
 
 
 def make_cloud(n: int, seed: int = 0):
-    """A wavy surface patch — surface-like density so the voxel grid is
-    representative (a random volume fill would be too easy). Returns
-    (noisy, normals, clean) so the bench can also score quality."""
+    """A piecewise-planar "CAD roof" surface: triangle waves in x and y
+    give planar facets meeting in sharp crease lines — the geometry the
+    feature-preserving denoiser is FOR. (A smooth sine surface is the
+    wrong quality workload: the iteration converges toward piecewise
+    planarity, so >~5 iterations over-smooth it and CD rises again.)
+    Surface-like density keeps the voxel grid representative. Returns
+    (noisy, normals, clean); normals are the analytic facet normals so
+    the gate scores the denoiser, not the estimator."""
     rng = np.random.default_rng(seed)
     side = int(np.sqrt(n))
     xs = np.linspace(0.0, 10.0, side, dtype=np.float32)
     xx, yy = np.meshgrid(xs, xs, indexing="ij")
-    zz = 0.5 * np.sin(xx) * np.cos(yy)
-    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    p, amp = 2.5, 0.5
+
+    def tri(t):
+        return 2 * np.abs(t / p - np.floor(t / p + 0.5))
+
+    def dtri(t):
+        return np.sign(((t / p + 0.5) % 1.0) - 0.5) * 2 / p
+
+    zz = amp * (tri(xx) + tri(yy))
+    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.float32)
+    gx = amp * dtri(xx).ravel()
+    gy = amp * dtri(yy).ravel()
     extra = n - len(pts)
     if extra > 0:
         sel = rng.integers(0, len(pts), extra)
-        pts = np.concatenate([pts, pts[sel] + rng.normal(scale=1e-3, size=(extra, 3)).astype(np.float32)])
-    # Noise along z.
+        pts = np.concatenate([pts, pts[sel]])
+        gx = np.concatenate([gx, gx[sel]])
+        gy = np.concatenate([gy, gy[sel]])
+    normals = np.stack([-gx, -gy, np.ones_like(gx)], axis=-1)
+    normals = (
+        normals / np.linalg.norm(normals, axis=1, keepdims=True)
+    ).astype(np.float32)
     noise = rng.normal(scale=0.02, size=(len(pts), 1)).astype(np.float32)
-    normals = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (len(pts), 1))
-    clean = pts.astype(np.float32)
+    clean = pts
     return (pts + normals * noise).astype(np.float32), normals, clean
 
 
@@ -131,7 +150,7 @@ def main():
             }
         )
     )
-    if ratio > 0.5:
+    if ratio > 0.25:
         # A regression in the fast engine would show up here long before
         # it shows up in the throughput number.
         print(
