@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DenoiseConfig
-from ..ops.eigh3 import eigh3x3_components
+from ..ops.eigh3 import eigh3x3_components, vu_filter_components
 from ..ops.fastmath import acos_poly
 from ..ops.morton import morton_sort, unsort
 from ..ops.solve3 import solve3x3_components
@@ -111,6 +111,30 @@ def _wsum_rows(w, rows, count):
 
 def _dist(tq, wr):
     return jnp.maximum(_mmT(tq[0:5], wr[0:5]), 0.0)
+
+
+def _dist_slim(tq, wr):
+    """Squared distances from SLIM packs (rows 0-2 = positions): build
+    the 5-row [p,1,p2] x [-2p,p2,1] operands in VMEM. The (wt,)-wide
+    derivations are ~20 VPU ops — far cheaper than DMAing precomputed
+    rows from HBM."""
+    pq, pw = tq[0:3], wr[0:3]
+    p2q = jnp.sum(pq * pq, axis=0, keepdims=True)
+    p2w = jnp.sum(pw * pw, axis=0, keepdims=True)
+    aq = jnp.concatenate([pq, jnp.ones_like(p2q), p2q], axis=0)
+    bw = jnp.concatenate([-2.0 * pw, p2w, jnp.ones_like(p2w)], axis=0)
+    return jnp.maximum(_mmT(aq, bw), 0.0)
+
+
+def _derive_window(wr):
+    """Window features from a slim pack slice: pn, sym6 rows."""
+    nw = wr[3:6]
+    pn = jnp.sum(wr[0:3] * nw, axis=0)
+    sym6 = (
+        nw[0] * nw[0], nw[0] * nw[1], nw[0] * nw[2],
+        nw[1] * nw[1], nw[1] * nw[2], nw[2] * nw[2],
+    )
+    return pn, sym6
 
 
 def _col_valid(off, nv, wt):
@@ -782,6 +806,20 @@ def _set_rk(gq, rk_feat, rk_step):
     return gq.at[8].set(rk_feat).at[9].set(rk_step)
 
 
+def _build_pack_slim(pos, nrm):
+    """The hybrid engine's 8-row pack [p(3), n(3), rk_feat, rk_step]:
+    every derived window feature (p^2, pn, n (x) n, ...) is computed
+    in-VMEM by the kernels instead of being DMA'd — 16-vs-40 rows of
+    HBM traffic per point per iteration, and the tile/window loads both
+    slice this ONE array."""
+    n = pos.shape[1]
+    return jnp.concatenate([pos, nrm, jnp.zeros((2, n), jnp.float32)], axis=0)
+
+
+def _set_rk_slim(pk, rk_feat, rk_step):
+    return pk.at[6].set(rk_feat).at[7].set(rk_step)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1075,7 +1113,8 @@ def pallas_denoise(
 
 
 def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig):
-    """Window reductions for NVT1: outputs t6 sums only."""
+    """Window reductions for NVT1 from SLIM packs [p, n, rkf, rks]:
+    outputs t6 sums only."""
     import math
 
     cos_rho = math.cos(cfg.angle)
@@ -1087,19 +1126,20 @@ def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig):
         tq, wr = _pipelined_load(
             starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
         )
-        d = _dist(tq, wr)
+        d = _dist_slim(tq, wr)
         d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
-        rkf = jnp.transpose(tq[8:9, :])
+        rkf = jnp.transpose(tq[6:7, :])
         mk = (d <= rkf) & (d < 1e30)
-        cross = _mmT(tq[0:3], wr[5:8])
-        num = jnp.abs(wr[8][None, :] - cross)
+        pn, sym6 = _derive_window(wr)
+        cross = _mmT(tq[0:3], wr[3:6])
+        num = jnp.abs(pn[None, :] - cross)
         cosang = num * jax.lax.rsqrt(jnp.maximum(d, 1e-24))
         wf0 = ((cosang < cos_rho) & mk).astype(jnp.float32)
         mkf = mk.astype(jnp.float32)
         wsum0 = jnp.sum(wf0, axis=1, keepdims=True)
         wf = jnp.where(wsum0 == 0.0, mkf, wf0)
         wsum = jnp.maximum(jnp.sum(wf, axis=1), 1.0)
-        rows = [(_wsum(wf, wr[9 + r]) / wsum)[None, :] for r in range(6)]
+        rows = [(_wsum(wf, sym6[r]) / wsum)[None, :] for r in range(6)]
         rows.append(jnp.zeros((2, t_sz), jnp.float32))
         out_ref[...] = jnp.concatenate(rows, axis=0)
 
@@ -1123,46 +1163,47 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta):
         tq, wr = _pipelined_load(
             starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
         )
-        d = _dist(tq, wr)
+        d = _dist_slim(tq, wr)
         d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
 
         # NVT2 weights -> t6 sums (for classes/edge dirs, eigh in XLA).
-        rkf = jnp.transpose(tq[8:9, :])
+        rkf = jnp.transpose(tq[6:7, :])
         mk = (d <= rkf) & (d < 1e30)
-        cross = _mmT(tq[0:3], wr[5:8])
-        numer = jnp.abs(wr[8][None, :] - cross)
+        pn, sym6 = _derive_window(wr)
+        cross = _mmT(tq[0:3], wr[3:6])
+        numer = jnp.abs(pn[None, :] - cross)
         cosang = numer * jax.lax.rsqrt(jnp.maximum(d, 1e-24))
         wf0 = ((cosang < cos_rho) & mk).astype(jnp.float32)
         mkf = mk.astype(jnp.float32)
         wsum0 = jnp.sum(wf0, axis=1, keepdims=True)
         wf = jnp.where(wsum0 == 0.0, mkf, wf0)
         wsumn = jnp.maximum(jnp.sum(wf, axis=1), 1.0)
-        rows = [(_wsum(wf, wr[9 + r]) / wsumn)[None, :] for r in range(6)]
+        rows = [(_wsum(wf, sym6[r]) / wsumn)[None, :] for r in range(6)]
 
         # Step-kNN mask and the shared sums.
-        rk8 = jnp.transpose(tq[9:10, :])
+        rk8 = jnp.transpose(tq[7:8, :])
         m8f = ((d <= rk8) & (d < 1e30)).astype(jnp.float32)
-        nnv = wr[5:8] * wr[8][None, :]
+        nnv = wr[3:6] * pn[None, :]
         for r in range(6):  # s6
-            rows.append(_wsum(m8f, wr[9 + r])[None, :])
+            rows.append(_wsum(m8f, sym6[r])[None, :])
         for r in range(3):  # b_nv
             rows.append(_wsum(m8f, nnv[r])[None, :])
         for r in range(3):  # sv
-            rows.append(_wsum(m8f, wr[15 + r])[None, :])
+            rows.append(_wsum(m8f, wr[r])[None, :])
         if use_edge:
             # Q[c,a,b] = sum_j m8 n_c n_a p_b — 27 rows.
             for c in range(3):
                 for a in range(3):
-                    base = wr[5 + c] * wr[5 + a]
+                    base = wr[3 + c] * wr[3 + a]
                     for b in range(3):
                         rows.append(
-                            _wsum(m8f, base * wr[15 + b])[None, :]
+                            _wsum(m8f, base * wr[b])[None, :]
                         )
-        dotj = wr[8][None, :] - cross  # n_j . (p_j - p_i)
+        dotj = pn[None, :] - cross  # n_j . (p_j - p_i)
         if use_flat:
             delta = scal_ref[1, 0]
             d2 = jnp.maximum(delta * delta, 1e-30)
-            ninj = _mmT(tq[5:8], wr[5:8])
+            ninj = _mmT(tq[3:6], wr[3:6])
             sim = jnp.exp(-16.0 * (2.0 - 2.0 * ninj) / d2)
             close = jnp.exp(-4.0 * jnp.where(d < 1e30, d, 0.0) / d2)
             wb = sim * close * m8f
@@ -1173,20 +1214,21 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta):
             d2 = jnp.maximum(delta * delta, 1e-30)
             like = jnp.exp(-9.0 * dotj * dotj / d2) * m8f
             for r in range(6):
-                rows.append(_wsum(like, wr[9 + r])[None, :])
+                rows.append(_wsum(like, sym6[r])[None, :])
             for r in range(3):
                 rows.append(_wsum(like, nnv[r])[None, :])
             for r in range(3):
-                rows.append(_wsum(like, wr[15 + r])[None, :])
+                rows.append(_wsum(like, wr[r])[None, :])
         # deg + per-point delta ingredients.
         rows.append(jnp.sum(m8f, axis=1)[None, :])
         for r in range(3):  # sum_j m8 p_j
-            rows.append(_wsum(m8f, wr[15 + r])[None, :])
+            rows.append(_wsum(m8f, wr[r])[None, :])
         for ci in range(len(needs_delta)):
             cen = (scal_ref[4 + ci, 0], scal_ref[4 + ci, 1], scal_ref[4 + ci, 2])
+            p2w = jnp.sum(wr[0:3] * wr[0:3], axis=0)
             dist2 = (
-                wr[3]
-                + (wr[0] * cen[0] + wr[1] * cen[1] + wr[2] * cen[2])
+                p2w
+                - 2.0 * (wr[0] * cen[0] + wr[1] * cen[1] + wr[2] * cen[2])
                 + (cen[0] ** 2 + cen[1] ** 2 + cen[2] ** 2)
             )
             rows.append(jnp.max(m8f * dist2[None, :], axis=1)[None, :])
@@ -1221,36 +1263,34 @@ def _k2_layout(strategy, needs_delta):
 
 
 def _xla_vu_stage(t6, gq, cfg: DenoiseConfig):
-    """eigh + VU smoothing + pack rebuild, one XLA fusion over (N,) rows.
+    """VU smoothing + slim-pack rebuild, one XLA fusion over (N,) rows.
 
-    t6: (8, N) from K1; gq: (16, N) current pack. Returns (GQ2, GR2).
+    t6: (8, N) from K1; gq: (8, N) slim pack [p, n, rkf, rks]. Returns
+    the post-VU pack [p, f, rkf, rks]. Uses the projector-form VU
+    filter (no eigenvectors): the explicit eigh graph was big enough
+    that XLA split it into ~12 loop kernels, each a full HBM
+    round-trip.
     """
-    w, v = eigh3x3_components(t6[0], t6[1], t6[2], t6[3], t6[4], t6[5])
-    n_i = (gq[5], gq[6], gq[7])
-    f = _vu_smooth_c(w, v, n_i, cfg.vu_tau, cfg.vu_damping)
-    pn = gq[0] * f[0] + gq[1] * f[1] + gq[2] * f[2]
-    gq2 = jnp.concatenate(
-        [gq[0:5], f[0][None], f[1][None], f[2][None], gq[8:16]], axis=0
+    n_i = (gq[3], gq[4], gq[5])
+    f = vu_filter_components(
+        (t6[0], t6[1], t6[2], t6[3], t6[4], t6[5]),
+        n_i, cfg.vu_tau, cfg.vu_damping,
     )
-    gr2 = jnp.concatenate(
-        [-2.0 * gq[0:3], gq[4:5], gq[3:4],
-         f[0][None], f[1][None], f[2][None], pn[None],
-         (f[0] * f[0])[None], (f[0] * f[1])[None], (f[0] * f[2])[None],
-         (f[1] * f[1])[None], (f[1] * f[2])[None], (f[2] * f[2])[None],
-         gq[0:3], jnp.zeros((6, gq.shape[1]), jnp.float32)],
-        axis=0,
+    return jnp.concatenate(
+        [gq[0:3], f[0][None], f[1][None], f[2][None], gq[6:8]], axis=0
     )
-    return gq2, gr2
 
 
 def _xla_update_stage(
     k2, gq2, scal_prev, d_thr, cfg: DenoiseConfig, strategy, needs_delta,
     lay, nv,
 ):
-    """Classify + solve + dispatch + next-pack build, XLA over (N,) rows."""
+    """Classify + solve + dispatch + next-pack build, XLA over (N,) rows.
+
+    gq2 is the slim post-VU pack [p, f, rkf, rks]."""
     n = gq2.shape[1]
     p_i = (gq2[0], gq2[1], gq2[2])
-    n_i = (gq2[5], gq2[6], gq2[7])
+    n_i = (gq2[3], gq2[4], gq2[5])
     alphas = cfg.alphas
     delta_slot = {c: i for i, c in enumerate(needs_delta)}
 
@@ -1370,27 +1410,12 @@ def _xla_update_stage(
         )
         scal = scal.at[1 + ci, 0].set(delta)
 
-    np2 = new_p[0] ** 2 + new_p[1] ** 2 + new_p[2] ** 2
-    fn = n_i
-    pn = new_p[0] * fn[0] + new_p[1] * fn[1] + new_p[2] * fn[2]
     gq_n = jnp.concatenate(
         [new_p[0][None], new_p[1][None], new_p[2][None],
-         gq2[3:4], np2[None],
-         fn[0][None], fn[1][None], fn[2][None], gq2[8:16]],
+         n_i[0][None], n_i[1][None], n_i[2][None], gq2[6:8]],
         axis=0,
     )
-    gr_n = jnp.concatenate(
-        [(-2.0 * new_p[0])[None], (-2.0 * new_p[1])[None],
-         (-2.0 * new_p[2])[None], np2[None], gq2[3:4],
-         fn[0][None], fn[1][None], fn[2][None], pn[None],
-         (fn[0] * fn[0])[None], (fn[0] * fn[1])[None],
-         (fn[0] * fn[2])[None], (fn[1] * fn[1])[None],
-         (fn[1] * fn[2])[None], (fn[2] * fn[2])[None],
-         new_p[0][None], new_p[1][None], new_p[2][None],
-         jnp.zeros((6, n), jnp.float32)],
-        axis=0,
-    )
-    return gq_n, gr_n, scal, cls
+    return gq_n, scal, cls
 
 
 @functools.partial(
@@ -1440,14 +1465,14 @@ def pallas_denoise_hybrid(
     lay = _k2_layout(strategy, needs_delta)
 
     sem22 = pltpu.SemaphoreType.DMA((2, 2))
-    scr_tq2 = pltpu.VMEM((2, 16, tile), jnp.float32)
-    scr_wr2 = pltpu.VMEM((2, 24, wt), jnp.float32)
+    scr_tq2 = pltpu.VMEM((2, 8, tile), jnp.float32)
+    scr_wr2 = pltpu.VMEM((2, 8, wt), jnp.float32)
 
     # Prologue: k-th distances + 6-NN edge sums via the counting-search
-    # kernel (packs with zeroed normal rows are sufficient for it).
+    # kernel. One slim pack serves as BOTH the tile and window source.
     pos0 = sc.pos.T
     nrm0 = sc.nrm.T
-    gq0, gr0 = _build_packs(pos0, nrm0)
+    gq0 = _build_pack_slim(pos0, nrm0)
     k0 = pl.pallas_call(
         _make_k0(tile, wt, num_tiles, cfg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1460,7 +1485,7 @@ def pallas_denoise_hybrid(
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         interpret=interpret,
     )
-    pro = k0(starts, meta, gq0, gr0)
+    pro = k0(starts, meta, gq0, gq0)
     rk_feat = pro[0] * threshold_slack
     rk_step = pro[1] * threshold_slack
     d_thr = cfg.d_scale * jnp.sum(pro[2]) / jnp.maximum(jnp.sum(pro[3]), 1.0)
@@ -1511,23 +1536,23 @@ def pallas_denoise_hybrid(
         scal0 = scal0.at[1 + ci, 0].set(radius0)
         scal0 = scal0.at[4 + ci, 0:3].set(centroid)
 
-    gq0 = _set_rk(gq0, rk_feat, rk_step)
+    gq0 = _set_rk_slim(gq0, rk_feat, rk_step)
 
     def one_iteration(carry, _):
-        gq, gr, scal_prev = carry
-        t6 = k1(starts, meta, gq, gr)
-        gq2, gr2 = _xla_vu_stage(t6, gq, cfg)
-        k2out = k2(starts, meta, gq2, gr2, scal_prev)
-        gq_n, gr_n, scal, cls = _xla_update_stage(
+        gq, scal_prev = carry
+        t6 = k1(starts, meta, gq, gq)
+        gq2 = _xla_vu_stage(t6, gq, cfg)
+        k2out = k2(starts, meta, gq2, gq2, scal_prev)
+        gq_n, scal, cls = _xla_update_stage(
             k2out, gq2, scal_prev, d_thr, cfg, strategy, needs_delta, lay, nv
         )
-        return (gq_n, gr_n, scal), cls
+        return (gq_n, scal), cls
 
-    (gq_f, gr_f, _), cls_hist = jax.lax.scan(
-        one_iteration, (gq0, gr0, scal0), None, length=iters
+    (gq_f, _), cls_hist = jax.lax.scan(
+        one_iteration, (gq0, scal0), None, length=iters
     )
     out_pos = unsort(gq_f[0:3].T, sc.orig_idx)[:n_in]
-    out_nrm = unsort(gq_f[5:8].T, sc.orig_idx)[:n_in]
+    out_nrm = unsort(gq_f[3:6].T, sc.orig_idx)[:n_in]
     out_cls = unsort(
         cls_hist[-1].astype(jnp.int32)[:, None], sc.orig_idx
     )[:n_in, 0]
@@ -1558,7 +1583,7 @@ def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24):
         tq, wr = _pipelined_load(
             starts_ref, pq_ref, pr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
         )
-        d = _dist(tq, wr)
+        d = _dist_slim(tq, wr)
         valid = _col_valid(off, nv, wt)
         dmax = jnp.max(jnp.where(valid, d, 0.0), axis=1, keepdims=True) + 1.0
         d = jnp.where(valid, d, dmax)  # padding cols above every threshold

@@ -111,6 +111,112 @@ def _evec_deflated_c(rows, lam, w):
     return tuple(c0 * ux + c1 * vx for ux, vx in zip(u, v))
 
 
+def eigvals3x3_components(a00, a01, a02, a11, a12, a22,
+                          acos_fn=jnp.arccos):
+    """Eigenvalues only (ascending) — the trigonometric root formula
+    without any eigenvector construction (~5x fewer ops than the full
+    ``eigh3x3_components``)."""
+    scale = jnp.maximum(
+        jnp.maximum(
+            jnp.maximum(jnp.abs(a00), jnp.abs(a11)),
+            jnp.maximum(jnp.abs(a22), jnp.abs(a01)),
+        ),
+        jnp.maximum(jnp.abs(a02), jnp.abs(a12)),
+    )
+    safe = jnp.maximum(scale, _EPS)
+    b00, b01, b02 = a00 / safe, a01 / safe, a02 / safe
+    b11, b12, b22 = a11 / safe, a12 / safe, a22 / safe
+    q = (b00 + b11 + b22) / 3.0
+    d00, d11, d22 = b00 - q, b11 - q, b22 - q
+    p1 = b01 * b01 + b02 * b02 + b12 * b12
+    p2 = d00 * d00 + d11 * d11 + d22 * d22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.maximum(p, _EPS)
+    c00, c11, c22 = d00 / safe_p, d11 / safe_p, d22 / safe_p
+    c01, c02, c12 = b01 / safe_p, b02 / safe_p, b12 / safe_p
+    det_c = (
+        c00 * (c11 * c22 - c12 * c12)
+        - c01 * (c01 * c22 - c12 * c02)
+        + c02 * (c01 * c12 - c11 * c02)
+    )
+    r = jnp.clip(det_c / 2.0, -1.0, 1.0)
+    phi = acos_fn(r) / 3.0
+    lam_hi = q + 2.0 * p * jnp.cos(phi)
+    lam_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = 3.0 * q - lam_hi - lam_lo
+    nonzero = scale > 0
+    return tuple(
+        jnp.where(nonzero, lam * safe, 0.0)
+        for lam in (lam_lo, lam_mid, lam_hi)
+    )
+
+
+def vu_filter_components(t6, n, tau, damping, acos_fn=jnp.arccos):
+    """VU-smoothed normals straight from the voting tensor — no
+    eigenvectors.
+
+    The VU filter (Decompositionor.py:92-106) is the spectral map
+    ``normalize(damping*n + P n)`` with ``P = sum_{lam_i > tau} v_i
+    v_i^T`` — a projector-sum with 0/1 weights. With eigenvalues
+    lam0 <= lam1 <= lam2 and k kept:
+
+      k=0 -> P n = 0;   k=3 -> P n = n;
+      k=1 (lam2 only) -> P n = (T - lam0)(T - lam1) n / ((lam2-lam0)(lam2-lam1))
+      k=2 -> P n = n - (T - lam1)(T - lam2) n / ((lam0-lam1)(lam0-lam2))
+
+    using u = T n, z = T u so each projector costs two shared matvecs.
+    ~5x fewer ops than explicit eigenvectors; XLA fuses it into a
+    couple of kernels instead of a dozen. Near-degenerate separations
+    are eps-guarded — those points are exactly the ones whose
+    eigenvectors are ill-conditioned in any formulation.
+
+    t6: (a00, a01, a02, a11, a12, a22) arrays; n: 3-tuple of arrays.
+    """
+    a00, a01, a02, a11, a12, a22 = t6
+    lam0, lam1, lam2 = eigvals3x3_components(
+        a00, a01, a02, a11, a12, a22, acos_fn=acos_fn
+    )
+    u = (
+        a00 * n[0] + a01 * n[1] + a02 * n[2],
+        a01 * n[0] + a11 * n[1] + a12 * n[2],
+        a02 * n[0] + a12 * n[1] + a22 * n[2],
+    )
+    z = (
+        a00 * u[0] + a01 * u[1] + a02 * u[2],
+        a01 * u[0] + a11 * u[1] + a12 * u[2],
+        a02 * u[0] + a12 * u[1] + a22 * u[2],
+    )
+
+    def proj(lam_a, lam_b, lam_c):
+        # ((T - lam_b)(T - lam_c) n) / ((lam_a-lam_b)(lam_a-lam_c))
+        den = (lam_a - lam_b) * (lam_a - lam_c)
+        inv = den / jnp.maximum(den * den, _EPS)
+        return tuple(
+            (z[c] - (lam_b + lam_c) * u[c] + lam_b * lam_c * n[c]) * inv
+            for c in range(3)
+        )
+
+    k = (
+        (lam0 > tau).astype(jnp.float32)
+        + (lam1 > tau).astype(jnp.float32)
+        + (lam2 > tau).astype(jnp.float32)
+    )
+    p_hi = proj(lam2, lam0, lam1)
+    p_lo = proj(lam0, lam1, lam2)
+    pn = tuple(
+        jnp.where(
+            k == 1.0, p_hi[c],
+            jnp.where(
+                k == 2.0, n[c] - p_lo[c],
+                jnp.where(k == 3.0, n[c], jnp.zeros_like(n[c])),
+            ),
+        )
+        for c in range(3)
+    )
+    acc = tuple(damping * n[c] + pn[c] for c in range(3))
+    return _normalize_c(acc)
+
+
 def eigh3x3_components(a00, a01, a02, a11, a12, a22, acos_fn=jnp.arccos):
     """Eigendecomposition from the six unique entries (elementwise).
 
