@@ -1112,26 +1112,26 @@ def pallas_denoise(
 # afterwards.
 
 
-def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig):
+def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig, sub=1):
     """Window reductions for NVT1 from SLIM packs [p, n, rkf, rks]:
-    outputs t6 sums only."""
+    outputs t6 sums only.
+
+    ``sub`` > 1 shares one DMA'd window across several t_sz-wide
+    compute subtiles (each reading its own wt_c-wide slice) — per-tile
+    DMA latency is the kernel floor, and window sharing halves the
+    number of DMAs for identical FLOPs."""
     import math
 
     cos_rho = math.cos(cfg.angle)
+    wt_c = wt - (sub - 1) * t_sz  # per-subtile window width
 
-    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, out_ref, tq2, wr2, sems):
-        t = pl.program_id(0)
-        off = pl.multiple_of(starts_ref[t], 128)
-        nv = meta_ref[0]
-        tq, wr = _pipelined_load(
-            starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
-        )
-        d = _dist_slim(tq, wr)
-        d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
-        rkf = jnp.transpose(tq[6:7, :])
+    def compute(tqs, wrs, off_s, nv):
+        d = _dist_slim(tqs, wrs)
+        d = jnp.where(_col_valid(off_s, nv, wt_c), d, jnp.float32(1e30))
+        rkf = jnp.transpose(tqs[6:7, :])
         mk = (d <= rkf) & (d < 1e30)
-        pn, sym6 = _derive_window(wr)
-        cross = _mmT(tq[0:3], wr[3:6])
+        pn, sym6 = _derive_window(wrs)
+        cross = _mmT(tqs[0:3], wrs[3:6])
         num = jnp.abs(pn[None, :] - cross)
         cosang = num * jax.lax.rsqrt(jnp.maximum(d, 1e-24))
         wf0 = ((cosang < cos_rho) & mk).astype(jnp.float32)
@@ -1141,30 +1141,48 @@ def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig):
         wsum = jnp.maximum(jnp.sum(wf, axis=1), 1.0)
         rows = [(_wsum(wf, sym6[r]) / wsum)[None, :] for r in range(6)]
         rows.append(jnp.zeros((2, t_sz), jnp.float32))
-        out_ref[...] = jnp.concatenate(rows, axis=0)
+        return jnp.concatenate(rows, axis=0)
+
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, out_ref, tq2, wr2, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        tq, wr = _pipelined_load(
+            starts_ref, gq_ref, gr_ref, t, t_sz * sub, wt, num_tiles,
+            tq2, wr2, sems
+        )
+        blocks = [
+            compute(
+                tq[:, s * t_sz : (s + 1) * t_sz],
+                wr[:, s * t_sz : s * t_sz + wt_c],
+                off + s * t_sz,
+                nv,
+            )
+            for s in range(sub)
+        ]
+        out_ref[...] = (
+            blocks[0] if sub == 1 else jnp.concatenate(blocks, axis=1)
+        )
 
     return kernel
 
 
-def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta):
-    """All class-independent window sums for the update stage."""
+def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta,
+             sub=1):
+    """All class-independent window sums for the update stage.
+
+    ``sub``: window-sharing subtiles, see _make_k1."""
     import math
 
     cos_rho = math.cos(cfg.angle)
     use_flat = "flat" in strategy
     use_new = "new" in strategy
     use_edge = "edge" in strategy
+    wt_c = wt - (sub - 1) * t_sz
 
-    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, scal_ref, out_ref,
-               tq2, wr2, sems):
-        t = pl.program_id(0)
-        off = pl.multiple_of(starts_ref[t], 128)
-        nv = meta_ref[0]
-        tq, wr = _pipelined_load(
-            starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
-        )
+    def compute(tq, wr, off, nv, scal_ref):
         d = _dist_slim(tq, wr)
-        d = jnp.where(_col_valid(off, nv, wt), d, jnp.float32(1e30))
+        d = jnp.where(_col_valid(off, nv, wt_c), d, jnp.float32(1e30))
 
         # NVT2 weights -> t6 sums (for classes/edge dirs, eigh in XLA).
         rkf = jnp.transpose(tq[6:7, :])
@@ -1236,7 +1254,30 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta):
         pad = (-total) % 8
         if pad:
             rows.append(jnp.zeros((pad, t_sz), jnp.float32))
-        out_ref[...] = jnp.concatenate(rows, axis=0)
+        return jnp.concatenate(rows, axis=0)
+
+    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, scal_ref, out_ref,
+               tq2, wr2, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        tq, wr = _pipelined_load(
+            starts_ref, gq_ref, gr_ref, t, t_sz * sub, wt, num_tiles,
+            tq2, wr2, sems
+        )
+        blocks = [
+            compute(
+                tq[:, s * t_sz : (s + 1) * t_sz],
+                wr[:, s * t_sz : s * t_sz + wt_c],
+                off + s * t_sz,
+                nv,
+                scal_ref,
+            )
+            for s in range(sub)
+        ]
+        out_ref[...] = (
+            blocks[0] if sub == 1 else jnp.concatenate(blocks, axis=1)
+        )
 
     return kernel
 
@@ -1422,7 +1463,7 @@ def _xla_update_stage(
     jax.jit,
     static_argnames=(
         "cfg", "strategy", "iterations", "tile", "window",
-        "threshold_method", "interpret",
+        "threshold_method", "interpret", "sub",
     ),
 )
 def pallas_denoise_hybrid(
@@ -1437,6 +1478,7 @@ def pallas_denoise_hybrid(
     threshold_method: str = "approx",
     threshold_slack: float = 1.05,
     interpret: bool = False,
+    sub: int = 8,
 ):
     """Hybrid engine: Pallas window reductions + XLA per-point math.
 
@@ -1449,23 +1491,32 @@ def pallas_denoise_hybrid(
     n_in = points.shape[0]
     nv = jnp.asarray(n_in if num_valid is None else num_valid, jnp.int32)
 
-    n = -(-n_in // tile) * tile
+    # One DMA serves `sub` compute subtiles (window sharing): pad to the
+    # DMA-tile multiple. On clouds too small to fit a full shared
+    # window, fall back to per-tile DMA so every subtile keeps the
+    # complete +-window span.
+    dma = tile * sub
+    n = -(-n_in // dma) * dma
+    if n < dma + 2 * window and sub > 1:
+        sub = 1
+        dma = tile
+        n = -(-n_in // dma) * dma
     if n != n_in:
         points = jnp.pad(points, ((0, n - n_in), (0, 0)))
         normals = jnp.pad(normals, ((0, n - n_in), (0, 0)))
     sc = morton_sort(points, normals, nv)
 
-    wt = min(tile + 2 * window, n)
-    num_tiles = n // tile
+    wt = min(dma + 2 * window, n)
+    num_tiles = n // dma
     starts = jnp.clip(
-        jnp.arange(num_tiles, dtype=jnp.int32) * tile - window, 0, n - wt
+        jnp.arange(num_tiles, dtype=jnp.int32) * dma - window, 0, n - wt
     )
     meta = jnp.asarray([nv], jnp.int32)
     needs_delta = tuple(c for c in range(3) if strategy[c] in ("flat", "new"))
     lay = _k2_layout(strategy, needs_delta)
 
     sem22 = pltpu.SemaphoreType.DMA((2, 2))
-    scr_tq2 = pltpu.VMEM((2, 8, tile), jnp.float32)
+    scr_tq2 = pltpu.VMEM((2, 8, dma), jnp.float32)
     scr_wr2 = pltpu.VMEM((2, 8, wt), jnp.float32)
 
     # Prologue: k-th distances + 6-NN edge sums via the counting-search
@@ -1474,12 +1525,12 @@ def pallas_denoise_hybrid(
     nrm0 = sc.nrm.T
     gq0 = _build_pack_slim(pos0, nrm0)
     k0 = pl.pallas_call(
-        _make_k0(tile, wt, num_tiles, cfg),
+        _make_k0(tile, wt, num_tiles, cfg, sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-            out_specs=pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
+            out_specs=pl.BlockSpec((8, dma), lambda t, *_: (0, t)),
             scratch_shapes=[scr_tq2, scr_wr2, sem22],
         ),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
@@ -1491,19 +1542,19 @@ def pallas_denoise_hybrid(
     d_thr = cfg.d_scale * jnp.sum(pro[2]) / jnp.maximum(jnp.sum(pro[3]), 1.0)
 
     k1 = pl.pallas_call(
-        _make_k1(tile, wt, num_tiles, cfg),
+        _make_k1(tile, wt, num_tiles, cfg, sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-            out_specs=pl.BlockSpec((8, tile), lambda t, *_: (0, t)),
+            out_specs=pl.BlockSpec((8, dma), lambda t, *_: (0, t)),
             scratch_shapes=[scr_tq2, scr_wr2, sem22],
         ),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         interpret=interpret,
     )
     k2 = pl.pallas_call(
-        _make_k2(tile, wt, num_tiles, cfg, strategy, needs_delta),
+        _make_k2(tile, wt, num_tiles, cfg, strategy, needs_delta, sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_tiles,),
@@ -1512,7 +1563,7 @@ def pallas_denoise_hybrid(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((8, 128), lambda t, *_: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((lay["_total"], tile), lambda t, *_: (0, t)),
+            out_specs=pl.BlockSpec((lay["_total"], dma), lambda t, *_: (0, t)),
             scratch_shapes=[scr_tq2, scr_wr2, sem22],
         ),
         out_shape=jax.ShapeDtypeStruct((lay["_total"], n), jnp.float32),
@@ -1559,7 +1610,8 @@ def pallas_denoise_hybrid(
     return out_pos, out_nrm, out_cls
 
 
-def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24):
+def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24,
+             sub=1):
     """Prologue kernel: per-point k-th distances (feature_k, step_k) and
     the 6-NN edge-length sums — via in-VMEM binary counting search
     instead of top_k (the XLA approx_min_k prologue costs ~0.25 s at 1M;
@@ -1576,15 +1628,11 @@ def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24):
             lo = jnp.where(ge, lo, mid)
         return hi
 
-    def kernel(starts_ref, meta_ref, pq_ref, pr_ref, out_ref, tq2, wr2, sems):
-        t = pl.program_id(0)
-        off = pl.multiple_of(starts_ref[t], 128)
-        nv = meta_ref[0]
-        tq, wr = _pipelined_load(
-            starts_ref, pq_ref, pr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
-        )
+    wt_c = wt - (sub - 1) * t_sz
+
+    def compute(tq, wr, off, nv, row0):
         d = _dist_slim(tq, wr)
-        valid = _col_valid(off, nv, wt)
+        valid = _col_valid(off, nv, wt_c)
         dmax = jnp.max(jnp.where(valid, d, 0.0), axis=1, keepdims=True) + 1.0
         d = jnp.where(valid, d, dmax)  # padding cols above every threshold
         rkf = kth_by_count(d, cfg.feature_k, dmax)
@@ -1594,13 +1642,35 @@ def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24):
         sum6 = jnp.sum(jnp.sqrt(jnp.maximum(d, 0.0)) * in6, axis=1)
         cnt6 = jnp.sum(in6, axis=1)
         row_valid = (
-            (t * t_sz + jax.lax.broadcasted_iota(jnp.int32, (t_sz,), 0)) < nv
+            (row0 + jax.lax.broadcasted_iota(jnp.int32, (t_sz,), 0)) < nv
         ).astype(jnp.float32)
-        out_ref[...] = jnp.concatenate(
+        return jnp.concatenate(
             [rkf.T, rk8.T, (sum6 * row_valid)[None, :],
              (cnt6 * row_valid)[None, :],
              jnp.zeros((4, t_sz), jnp.float32)],
             axis=0,
+        )
+
+    def kernel(starts_ref, meta_ref, pq_ref, pr_ref, out_ref, tq2, wr2, sems):
+        t = pl.program_id(0)
+        off = pl.multiple_of(starts_ref[t], 128)
+        nv = meta_ref[0]
+        tq, wr = _pipelined_load(
+            starts_ref, pq_ref, pr_ref, t, t_sz * sub, wt, num_tiles,
+            tq2, wr2, sems
+        )
+        blocks = [
+            compute(
+                tq[:, s * t_sz : (s + 1) * t_sz],
+                wr[:, s * t_sz : s * t_sz + wt_c],
+                off + s * t_sz,
+                nv,
+                t * (t_sz * sub) + s * t_sz,
+            )
+            for s in range(sub)
+        ]
+        out_ref[...] = (
+            blocks[0] if sub == 1 else jnp.concatenate(blocks, axis=1)
         )
 
     return kernel
