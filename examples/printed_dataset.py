@@ -36,8 +36,6 @@ def main():
 
     from ngpd_tpu.config import DenoiseConfig
     from ngpd_tpu.core.normals import orient_normals, pvt_normals
-    from ngpd_tpu.core.pallas_fused import pallas_denoise_hybrid
-    from ngpd_tpu.core.fused import fused_denoise
     from ngpd_tpu.io.obj import load_obj, read_obj
     from ngpd_tpu.io.sampling import sample_mesh
     from ngpd_tpu.ops import metrics
@@ -61,20 +59,23 @@ def main():
         nbh, _ = knn(noisy, 12, exclude_self=True)
         nrm = orient_normals(noisy, pvt_normals(noisy, nbh), nbh)
         cfg = DenoiseConfig(alphas=tuple(args.alphas))
-        if on_tpu:
-            out, _, _ = pallas_denoise_hybrid(
-                noisy, nrm, cfg, iterations=args.iterations,
-                tile=256, window=256,
-            )
-        else:
-            out, _, _ = fused_denoise(
-                noisy, nrm, cfg, iterations=args.iterations,
-                tile=256, window=256, threshold_refresh=0,
-            )
+        # The reference scores these scans through
+        # denoiseUntilMinimumError (Processor.py:141): iterate while the
+        # GT error improves, return the best iterate — real scans carry
+        # little noise, so a fixed iteration count over-smooths.
+        from ngpd_tpu.core.pipeline import denoise_until_minimum_error
+
+        out, _, _, iters = denoise_until_minimum_error(
+            noisy, nrm, gt, cfg=cfg,
+            alphas=tuple(args.alphas),
+            max_iterations=args.iterations,
+            error_fn=metrics.single_chamfer_distance,
+        )
         cd0 = float(jnp.mean(metrics.single_chamfer_distance(noisy, gt)))
         cd1 = float(jnp.mean(metrics.single_chamfer_distance(out, gt)))
         print(f"[{name}] {len(noisy)} pts: sCD {cd0:.4E} -> {cd1:.4E} "
-              f"({'improved' if cd1 < cd0 else 'worse'})")
+              f"({int(iters)} iters, "
+              f"{'improved' if cd1 < cd0 else 'kept input'})")
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ training — the eval is honestly held out.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import shutil
 import time
@@ -30,7 +31,7 @@ import numpy as np
 
 REF = Path("/root/reference")
 WORK = Path("/tmp/ngpd_meshds")
-SHARDS = WORK / "shards"
+SHARDS = WORK / os.environ.get("NGPD_SHARDS", "shards")
 CKPT = Path("/root/repo/assets")
 
 # Training meshes: everything in common-3d-test-models except the
@@ -41,7 +42,7 @@ TRAIN_MESHES = [
     "homer", "rocker-arm", "spot", "suzanne", "teapot", "woody",
 ]
 NOISE_LEVELS = [0.1, 0.2, 0.35, 0.5, 0.7]
-PATCHES_PER_MESH = 2000
+PATCHES_PER_MESH = int(os.environ.get("NGPD_PATCHES", 2000))
 
 GOLDENS = [
     # (noisy, clean, reference denoised)
