@@ -35,12 +35,15 @@ SHARDS = WORK / os.environ.get("NGPD_SHARDS", "shards")
 CKPT = Path("/root/repo/assets")
 
 # Training meshes: everything in common-3d-test-models except the
-# held-out fandisk (golden) and the two >60k-face meshes that dominate
-# extraction time without adding much shape diversity at 2k patches.
+# held-out fandisk (golden). The three big meshes (bunny/ogre/
+# nefertiti) are included only when NGPD_BIG_MESHES=1 — their
+# extraction dominates build time at small patch budgets.
 TRAIN_MESHES = [
     "alligator", "beast", "beetle-alt", "beetle", "cheburashka", "cow",
     "homer", "rocker-arm", "spot", "suzanne", "teapot", "woody",
 ]
+if os.environ.get("NGPD_BIG_MESHES"):
+    TRAIN_MESHES += ["stanford-bunny", "ogre", "nefertiti"]
 NOISE_LEVELS = [0.1, 0.2, 0.35, 0.5, 0.7]
 PATCHES_PER_MESH = int(os.environ.get("NGPD_PATCHES", 2000))
 
@@ -119,8 +122,10 @@ def train(args):
         f"on {jax.devices()[0].platform}"
     )
 
+    steps_per_epoch = max(1, len(store.train["x"]) // args.batch_size)
     model, state, tx = init_dgcnn(
-        jax.random.PRNGKey(0), learning_rate=args.lr
+        jax.random.PRNGKey(0), learning_rate=args.lr,
+        decay_steps=steps_per_epoch * args.epochs if args.cosine else None,
     )
     state = fit_dgcnn(
         model,
@@ -186,6 +191,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--gcns", type=int, default=2)
+    ap.add_argument("--cosine", action="store_true",
+                    help="cosine-decay the learning rate over the run")
     args = ap.parse_args()
     {"build": build, "train": train, "eval": evaluate}[args.phase](args)
 

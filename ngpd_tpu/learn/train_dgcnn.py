@@ -33,13 +33,22 @@ def init_dgcnn(
     emb_dims: int = 1024,
     learning_rate: float = 1e-4,
     num_nodes: int = 64,
+    decay_steps: Optional[int] = None,
 ):
     """Model + state + optimizer (DGCNN(8, 17, 1024, 0.5), Adam 1e-4 —
-    train.py:85-92 / parsers.py:8)."""
+    train.py:85-92 / parsers.py:8). ``decay_steps`` switches the
+    constant rate to a cosine decay over that many steps (the
+    reference's StepLR×0.5/50ep analog for short budgets)."""
     model = DGCNN(emb_dims=emb_dims)
     dummy = jnp.zeros((2, 20, num_nodes), jnp.float32)
     variables = model.init(rng, dummy, train=False)
-    tx = optax.adam(learning_rate)
+    if decay_steps:
+        sched = optax.cosine_decay_schedule(
+            learning_rate, decay_steps, alpha=0.05
+        )
+        tx = optax.adam(sched)
+    else:
+        tx = optax.adam(learning_rate)
     state = TrainState.create(variables, tx, rng)
     return model, state, tx
 
