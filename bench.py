@@ -33,7 +33,10 @@ def make_cloud(n: int, seed: int = 0):
     the gate scores the denoiser, not the estimator."""
     rng = np.random.default_rng(seed)
     side = int(np.sqrt(n))
-    xs = np.linspace(0.0, 10.0, side, dtype=np.float32)
+    # Domain scales with sqrt(n): constant point spacing (0.01) at any
+    # N, so the noise/spacing regime — and the quality gate — is
+    # comparable across bench scales.
+    xs = np.linspace(0.0, 10.0 * side / 1000.0, side, dtype=np.float32)
     xx, yy = np.meshgrid(xs, xs, indexing="ij")
     p, amp = 2.5, 0.5
 
