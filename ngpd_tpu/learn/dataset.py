@@ -188,7 +188,9 @@ class PatchDataset:
     # and batches become on-device gathers. Per-batch host->device
     # transfers cost ~30 ms each through a remote TPU tunnel — an order
     # of magnitude more than the train step itself.
-    DEVICE_STAGE_BYTES = 2 << 30
+    DEVICE_STAGE_BYTES = int(
+        __import__("os").environ.get("NGPD_STAGE_BYTES", 2 << 30)
+    )
 
     def _staged(self):
         if getattr(self, "_dev", None) is None:
