@@ -22,6 +22,7 @@ non-feature patches are subsampled to ratio * num_feature
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Iterator, Optional, Sequence
 
@@ -188,9 +189,7 @@ class PatchDataset:
     # and batches become on-device gathers. Per-batch host->device
     # transfers cost ~30 ms each through a remote TPU tunnel — an order
     # of magnitude more than the train step itself.
-    DEVICE_STAGE_BYTES = int(
-        __import__("os").environ.get("NGPD_STAGE_BYTES", 2 << 30)
-    )
+    DEVICE_STAGE_BYTES = int(os.environ.get("NGPD_STAGE_BYTES", 2 << 30))
 
     def _staged(self):
         if getattr(self, "_dev", None) is None:

@@ -12,6 +12,7 @@ the gradient all-reduce); without a mesh it is a plain ``jax.jit``.
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 from typing import Iterator, Optional, Sequence
@@ -150,9 +151,7 @@ class ShardStore:
     # See PatchDataset.DEVICE_STAGE_BYTES: staging the split on device
     # once turns ~30 ms-per-batch tunnel transfers into ~1 ms on-device
     # gathers.
-    DEVICE_STAGE_BYTES = int(
-        __import__("os").environ.get("NGPD_STAGE_BYTES", 2 << 30)
-    )
+    DEVICE_STAGE_BYTES = int(os.environ.get("NGPD_STAGE_BYTES", 2 << 30))
 
     def _staged(self, split: str):
         if split not in self._dev:
