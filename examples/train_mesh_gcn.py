@@ -136,7 +136,12 @@ def train(args):
         num_epochs=args.epochs,
         patience=6,
         log_dir=str(WORK / "logs"),
-        checkpoint_dir=str(WORK / "ckpt"),
+        # Orbax's async writer has wedged mid-run through the remote
+        # device tunnel; the trainer's in-memory best-state return makes
+        # on-disk checkpoints optional here.
+        checkpoint_dir=(
+            None if os.environ.get("NGPD_NO_CKPT") else str(WORK / "ckpt")
+        ),
     )
     from ngpd_tpu.learn.weights import save_variables_npz
 
