@@ -126,6 +126,18 @@ def _dist_slim(tq, wr):
     return jnp.maximum(_mmT(aq, bw), 0.0)
 
 
+def _subtile_window(sub_starts_ref, off, wr, t, s, sub, t_sz, wt_c):
+    """Slice subtile ``s``'s IDEAL +-window span out of the shared DMA
+    slab — boundary pairs have clipped slab starts, so the per-subtile
+    start is prefetched separately (bit-identical to per-tile DMA;
+    every quantity involved is a multiple of 128, keeping the
+    lane-dim dynamic slice aligned)."""
+    s_off = pl.multiple_of(sub_starts_ref[t * sub + s], 128)
+    rel = pl.multiple_of(s_off - off, 128)
+    wrs = jax.lax.dynamic_slice_in_dim(wr, rel, wt_c, axis=1)
+    return s_off, wrs
+
+
 def _derive_window(wr):
     """Window features from a slim pack slice: pn, sym6 rows."""
     nw = wr[3:6]
@@ -1143,7 +1155,8 @@ def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig, sub=1):
         rows.append(jnp.zeros((2, t_sz), jnp.float32))
         return jnp.concatenate(rows, axis=0)
 
-    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, out_ref, tq2, wr2, sems):
+    def kernel(starts_ref, sub_starts_ref, meta_ref, gq_ref, gr_ref,
+               out_ref, tq2, wr2, sems):
         t = pl.program_id(0)
         off = pl.multiple_of(starts_ref[t], 128)
         nv = meta_ref[0]
@@ -1151,15 +1164,14 @@ def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig, sub=1):
             starts_ref, gq_ref, gr_ref, t, t_sz * sub, wt, num_tiles,
             tq2, wr2, sems
         )
-        blocks = [
-            compute(
-                tq[:, s * t_sz : (s + 1) * t_sz],
-                wr[:, s * t_sz : s * t_sz + wt_c],
-                off + s * t_sz,
-                nv,
+        blocks = []
+        for s in range(sub):
+            s_off, wrs = _subtile_window(
+                sub_starts_ref, off, wr, t, s, sub, t_sz, wt_c
             )
-            for s in range(sub)
-        ]
+            blocks.append(
+                compute(tq[:, s * t_sz : (s + 1) * t_sz], wrs, s_off, nv)
+            )
         out_ref[...] = (
             blocks[0] if sub == 1 else jnp.concatenate(blocks, axis=1)
         )
@@ -1256,8 +1268,8 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta,
             rows.append(jnp.zeros((pad, t_sz), jnp.float32))
         return jnp.concatenate(rows, axis=0)
 
-    def kernel(starts_ref, meta_ref, gq_ref, gr_ref, scal_ref, out_ref,
-               tq2, wr2, sems):
+    def kernel(starts_ref, sub_starts_ref, meta_ref, gq_ref, gr_ref,
+               scal_ref, out_ref, tq2, wr2, sems):
         t = pl.program_id(0)
         off = pl.multiple_of(starts_ref[t], 128)
         nv = meta_ref[0]
@@ -1265,16 +1277,17 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta,
             starts_ref, gq_ref, gr_ref, t, t_sz * sub, wt, num_tiles,
             tq2, wr2, sems
         )
-        blocks = [
-            compute(
-                tq[:, s * t_sz : (s + 1) * t_sz],
-                wr[:, s * t_sz : s * t_sz + wt_c],
-                off + s * t_sz,
-                nv,
-                scal_ref,
+        blocks = []
+        for s in range(sub):
+            s_off, wrs = _subtile_window(
+                sub_starts_ref, off, wr, t, s, sub, t_sz, wt_c
             )
-            for s in range(sub)
-        ]
+            blocks.append(
+                compute(
+                    tq[:, s * t_sz : (s + 1) * t_sz], wrs, s_off, nv,
+                    scal_ref,
+                )
+            )
         out_ref[...] = (
             blocks[0] if sub == 1 else jnp.concatenate(blocks, axis=1)
         )
@@ -1507,9 +1520,16 @@ def pallas_denoise_hybrid(
     sc = morton_sort(points, normals, nv)
 
     wt = min(dma + 2 * window, n)
+    wt_c = wt - (sub - 1) * tile
     num_tiles = n // dma
     starts = jnp.clip(
         jnp.arange(num_tiles, dtype=jnp.int32) * dma - window, 0, n - wt
+    )
+    # Per-SUBTILE ideal window starts: boundary pairs clip the shared
+    # slab, so each subtile slices its exact +-window span by offset.
+    sub_starts = jnp.clip(
+        jnp.arange(num_tiles * sub, dtype=jnp.int32) * tile - window,
+        0, n - wt_c,
     )
     meta = jnp.asarray([nv], jnp.int32)
     needs_delta = tuple(c for c in range(3) if strategy[c] in ("flat", "new"))
@@ -1527,7 +1547,7 @@ def pallas_denoise_hybrid(
     k0 = pl.pallas_call(
         _make_k0(tile, wt, num_tiles, cfg, sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
             out_specs=pl.BlockSpec((8, dma), lambda t, *_: (0, t)),
@@ -1536,7 +1556,7 @@ def pallas_denoise_hybrid(
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         interpret=interpret,
     )
-    pro = k0(starts, meta, gq0, gq0)
+    pro = k0(starts, sub_starts, meta, gq0, gq0)
     rk_feat = pro[0] * threshold_slack
     rk_step = pro[1] * threshold_slack
     d_thr = cfg.d_scale * jnp.sum(pro[2]) / jnp.maximum(jnp.sum(pro[3]), 1.0)
@@ -1544,7 +1564,7 @@ def pallas_denoise_hybrid(
     k1 = pl.pallas_call(
         _make_k1(tile, wt, num_tiles, cfg, sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
             out_specs=pl.BlockSpec((8, dma), lambda t, *_: (0, t)),
@@ -1556,7 +1576,7 @@ def pallas_denoise_hybrid(
     k2 = pl.pallas_call(
         _make_k2(tile, wt, num_tiles, cfg, strategy, needs_delta, sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -1591,9 +1611,9 @@ def pallas_denoise_hybrid(
 
     def one_iteration(carry, _):
         gq, scal_prev = carry
-        t6 = k1(starts, meta, gq, gq)
+        t6 = k1(starts, sub_starts, meta, gq, gq)
         gq2 = _xla_vu_stage(t6, gq, cfg)
-        k2out = k2(starts, meta, gq2, gq2, scal_prev)
+        k2out = k2(starts, sub_starts, meta, gq2, gq2, scal_prev)
         gq_n, scal, cls = _xla_update_stage(
             k2out, gq2, scal_prev, d_thr, cfg, strategy, needs_delta, lay, nv
         )
@@ -1651,7 +1671,8 @@ def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24,
             axis=0,
         )
 
-    def kernel(starts_ref, meta_ref, pq_ref, pr_ref, out_ref, tq2, wr2, sems):
+    def kernel(starts_ref, sub_starts_ref, meta_ref, pq_ref, pr_ref,
+               out_ref, tq2, wr2, sems):
         t = pl.program_id(0)
         off = pl.multiple_of(starts_ref[t], 128)
         nv = meta_ref[0]
@@ -1659,16 +1680,17 @@ def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24,
             starts_ref, pq_ref, pr_ref, t, t_sz * sub, wt, num_tiles,
             tq2, wr2, sems
         )
-        blocks = [
-            compute(
-                tq[:, s * t_sz : (s + 1) * t_sz],
-                wr[:, s * t_sz : s * t_sz + wt_c],
-                off + s * t_sz,
-                nv,
-                t * (t_sz * sub) + s * t_sz,
+        blocks = []
+        for s in range(sub):
+            s_off, wrs = _subtile_window(
+                sub_starts_ref, off, wr, t, s, sub, t_sz, wt_c
             )
-            for s in range(sub)
-        ]
+            blocks.append(
+                compute(
+                    tq[:, s * t_sz : (s + 1) * t_sz], wrs, s_off, nv,
+                    t * (t_sz * sub) + s * t_sz,
+                )
+            )
         out_ref[...] = (
             blocks[0] if sub == 1 else jnp.concatenate(blocks, axis=1)
         )

@@ -116,3 +116,25 @@ def test_hybrid_matches_fused_on_real_asset():
     # real data.
     agree = (np.asarray(gc) == np.asarray(wc)).mean()
     assert agree > 0.95, agree
+
+
+def test_hybrid_window_sharing_matches_per_tile():
+    """sub>1 (one DMA'd window shared by several compute subtiles) is
+    bit-identical to per-tile DMA: every subtile reads the exact same
+    +-window span, just from a shared VMEM slab."""
+    from ngpd_tpu.core.pallas_fused import pallas_denoise_hybrid
+
+    pts, nrm = sphere_cloud(1024, seed=9)
+    rng = np.random.default_rng(10)
+    noisy = (pts + rng.normal(scale=0.03, size=pts.shape)).astype(np.float32)
+    a, an, ac = pallas_denoise_hybrid(
+        jnp.asarray(noisy), jnp.asarray(nrm), iterations=2,
+        tile=128, window=128, interpret=True, sub=1,
+    )
+    b, bn, bc = pallas_denoise_hybrid(
+        jnp.asarray(noisy), jnp.asarray(nrm), iterations=2,
+        tile=128, window=128, interpret=True, sub=2,
+    )
+    assert (np.asarray(ac) == np.asarray(bc)).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(an), np.asarray(bn), atol=1e-6)
