@@ -126,7 +126,7 @@ def _dist_slim(tq, wr):
     return jnp.maximum(_mmT(aq, bw), 0.0)
 
 
-def _subtile_window(sub_starts_ref, off, wr, t, s, sub, t_sz, wt_c):
+def _subtile_window(sub_starts_ref, off, wr, t, s, sub, wt_c):
     """Slice subtile ``s``'s IDEAL +-window span out of the shared DMA
     slab — boundary pairs have clipped slab starts, so the per-subtile
     start is prefetched separately (bit-identical to per-tile DMA;
@@ -1167,7 +1167,7 @@ def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig, sub=1):
         blocks = []
         for s in range(sub):
             s_off, wrs = _subtile_window(
-                sub_starts_ref, off, wr, t, s, sub, t_sz, wt_c
+                sub_starts_ref, off, wr, t, s, sub, wt_c
             )
             blocks.append(
                 compute(tq[:, s * t_sz : (s + 1) * t_sz], wrs, s_off, nv)
@@ -1280,7 +1280,7 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta,
         blocks = []
         for s in range(sub):
             s_off, wrs = _subtile_window(
-                sub_starts_ref, off, wr, t, s, sub, t_sz, wt_c
+                sub_starts_ref, off, wr, t, s, sub, wt_c
             )
             blocks.append(
                 compute(
@@ -1683,7 +1683,7 @@ def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24,
         blocks = []
         for s in range(sub):
             s_off, wrs = _subtile_window(
-                sub_starts_ref, off, wr, t, s, sub, t_sz, wt_c
+                sub_starts_ref, off, wr, t, s, sub, wt_c
             )
             blocks.append(
                 compute(
