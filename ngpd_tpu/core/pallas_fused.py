@@ -134,7 +134,7 @@ def _subtile_window(sub_starts_ref, off, wr, t, s, sub, wt_c):
     lane-dim dynamic slice aligned)."""
     s_off = pl.multiple_of(sub_starts_ref[t * sub + s], 128)
     rel = pl.multiple_of(s_off - off, 128)
-    wrs = jax.lax.dynamic_slice_in_dim(wr, rel, wt_c, axis=1)
+    wrs = wr[:, pl.ds(rel, wt_c)]
     return s_off, wrs
 
 
@@ -174,7 +174,8 @@ def _nvt_eigh(tq, wr, d, mask_k, cos_rho, cross=None):
 
 
 def _pipelined_load(
-    starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems
+    starts_ref, gq_ref, gr_ref, t, t_sz, wt, num_tiles, tq2, wr2, sems,
+    window_as_ref=False,
 ):
     """Double-buffered tile/window loads: issue tile t+1's DMA before
     waiting on tile t's (scratch and semaphores persist across the
@@ -206,7 +207,10 @@ def _pipelined_load(
 
     for c in copies(t, slot):
         c.wait()
-    return tq2[slot], wr2[slot]
+    # window_as_ref: the hybrid's shared-window subtiles slice the slab
+    # with a DYNAMIC lane offset, and Mosaic lowers dynamic slices only
+    # as ref loads (pl.ds), not on values — so they take a ref view.
+    return tq2[slot], (wr2.at[slot] if window_as_ref else wr2[slot])
 
 
 def _dma_in(refs_slices, scratches, sems):
@@ -1162,7 +1166,7 @@ def _make_k1(t_sz, wt, num_tiles, cfg: DenoiseConfig, sub=1):
         nv = meta_ref[0]
         tq, wr = _pipelined_load(
             starts_ref, gq_ref, gr_ref, t, t_sz * sub, wt, num_tiles,
-            tq2, wr2, sems
+            tq2, wr2, sems, window_as_ref=True,
         )
         blocks = []
         for s in range(sub):
@@ -1275,7 +1279,7 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta,
         nv = meta_ref[0]
         tq, wr = _pipelined_load(
             starts_ref, gq_ref, gr_ref, t, t_sz * sub, wt, num_tiles,
-            tq2, wr2, sems
+            tq2, wr2, sems, window_as_ref=True,
         )
         blocks = []
         for s in range(sub):
@@ -1678,7 +1682,7 @@ def _make_k0(t_sz, wt, num_tiles, cfg: DenoiseConfig, search_iters=24,
         nv = meta_ref[0]
         tq, wr = _pipelined_load(
             starts_ref, pq_ref, pr_ref, t, t_sz * sub, wt, num_tiles,
-            tq2, wr2, sems
+            tq2, wr2, sems, window_as_ref=True,
         )
         blocks = []
         for s in range(sub):
