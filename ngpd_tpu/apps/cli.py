@@ -193,6 +193,7 @@ def cmd_denoise_mesh(args):
     cfg = GNFConfig(
         normal_iterations=args.normal_iterations,
         vertex_iterations=args.vertex_iterations,
+        sigma_r=args.sigma_r,
     )
     gt_mesh = None
     if args.gt:
@@ -302,6 +303,9 @@ def main(argv=None):
     )
     dm.add_argument("--batch-size", type=int, default=720)
     dm.add_argument("--normal-iterations", type=int, default=12)
+    dm.add_argument("--sigma-r", type=float, default=0.3,
+                    help="guidance-range bandwidth (the app's sigma_r "
+                    "slider, MeshNormalFiltering.cpp:37)")
     dm.add_argument("--vertex-iterations", type=int, default=16)
     dm.add_argument("--error-map", action="store_true")
     dm.set_defaults(fn=cmd_denoise_mesh)
