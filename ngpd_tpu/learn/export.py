@@ -16,7 +16,7 @@ same way modelTrans.py compares scripted vs eager outputs.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ single ``.npz`` shard per mesh — the fast path the trainer consumes.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Optional, Sequence, Union
 
