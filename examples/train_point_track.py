@@ -83,12 +83,20 @@ def main():
 
     if not args.skip_dataset or not (WORK / "ds").exists():
         from ngpd_tpu.io.obj import save_obj
+        from ngpd_tpu.meshproc.synthetic import cad_suite
 
         raws = []
-        for src in TRAIN_SHAPES:
-            data = read_obj(str(src))
-            cloud = sample_mesh(data.v, data.fv, args.points, seed=1)
-            dst = WORK / "raw" / f"{src.stem}.obj"
+        syn = cad_suite()
+        sources = [(p.stem, None) for p in TRAIN_SHAPES]
+        sources += [(name, mesh) for name, mesh in syn.items()]
+        for i, (stem, mesh) in enumerate(sources):
+            if mesh is None:
+                data = read_obj(str(TRAIN_SHAPES[i]))
+                v, fv = data.v, data.fv
+            else:
+                v, fv = np.asarray(mesh.v), np.asarray(mesh.f)
+            cloud = sample_mesh(v, fv, args.points, seed=1)
+            dst = WORK / "raw" / f"{stem}.obj"
             dst.parent.mkdir(parents=True, exist_ok=True)
             save_obj(
                 str(dst), np.asarray(cloud.points), np.asarray(cloud.normals)

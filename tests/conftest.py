@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 # scan shapes; caching cuts repeat runs from minutes to seconds.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ngpd_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# The suite is XLA-compile-bound on CPU, not runtime-bound: skipping the
+# expensive optimization passes cuts cold wall-clock ~25% with tiny test
+# shapes (numerical tolerances unaffected — engine-parity tests pass).
+os.environ.setdefault("JAX_DISABLE_MOST_OPTIMIZATIONS", "1")
 
 import jax  # noqa: E402
 
