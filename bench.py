@@ -140,6 +140,12 @@ def main():
 
     value = n * iters / best
     target = 20e6  # 1M pts x 20 iters in 1 s
+    # Quality gate: the benched engine must cut CD to <= GATE_RATIO of
+    # the noisy input or the bench FAILS (nonzero exit + "fail" in the
+    # JSON line) — a throughput win that stops denoising cannot look
+    # green in BENCH_r*.json.
+    GATE_RATIO = 0.25
+    gate = "pass" if ratio <= GATE_RATIO else "fail"
     print(
         json.dumps(
             {
@@ -147,20 +153,22 @@ def main():
                 "value": round(value, 1),
                 "unit": "point-iterations/s",
                 "vs_baseline": round(value / target, 4),
+                "quality_gate": gate,
                 "quality_cd_ratio": round(ratio, 4),
                 "quality_cd_noisy": round(cd_noisy, 8),
                 "quality_cd_denoised": round(cd_out, 8),
             }
         )
     )
-    if ratio > 0.25:
-        # A regression in the fast engine would show up here long before
-        # it shows up in the throughput number.
+    if gate == "fail":
+        # A regression in the fast engine shows up here long before it
+        # shows up in the throughput number.
         print(
-            f"WARNING: quality gate ratio {ratio:.3f} > 0.5 — the benched "
-            "engine is not actually denoising at these settings",
+            f"FAIL: quality gate ratio {ratio:.3f} > {GATE_RATIO} — the "
+            "benched engine is not actually denoising at these settings",
             file=sys.stderr,
         )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

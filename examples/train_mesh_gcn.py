@@ -134,7 +134,7 @@ def train(args):
         store,
         batch_size=args.batch_size,
         num_epochs=args.epochs,
-        patience=6,
+        patience=args.patience,
         log_dir=str(WORK / "logs"),
         # Orbax's async writer has wedged mid-run through the remote
         # device tunnel; the trainer's in-memory best-state return makes
@@ -146,8 +146,8 @@ def train(args):
     from ngpd_tpu.learn.weights import save_variables_npz
 
     variables = jax.device_get(dgcnn_variables(state))
-    save_variables_npz(CKPT / "dgcnn_mesh.npz", variables)
-    print("saved", CKPT / "dgcnn_mesh.npz")
+    save_variables_npz(CKPT / args.out, variables)
+    print("saved", CKPT / args.out)
 
 
 def evaluate(args):
@@ -195,6 +195,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=24)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--patience", type=int, default=6)
+    ap.add_argument("--out", default="dgcnn_mesh.npz",
+                    help="checkpoint filename under assets/")
     ap.add_argument("--gcns", type=int, default=2)
     ap.add_argument("--cosine", action="store_true",
                     help="cosine-decay the learning rate over the run")

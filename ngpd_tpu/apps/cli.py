@@ -17,9 +17,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from pathlib import Path
 
 import numpy as np
+
+# Persistent XLA compilation cache BEFORE jax initializes: flagship CLI
+# runs are compile-bound (minutes of XLA work per new mesh shape,
+# re-paid every invocation without this); with the cache a repeat run on
+# the same mesh skips compilation entirely. Mirrors bench.py:69-70.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ngpd_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def _load_cloud(path):

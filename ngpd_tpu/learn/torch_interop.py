@@ -170,16 +170,34 @@ def load_torch_checkpoint(path: Union[str, Path]) -> dict:
     dicts (DenoisingGCN/train.py:132) and TorchScript ``.pt`` modules
     (modelTrans.py:6-26).
     """
+    import os
+
     import torch
 
     path = str(path)
     try:
+        # Safe loader first: tensors only, no pickled code execution.
         sd = torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
         try:
-            sd = torch.load(path, map_location="cpu", weights_only=False)
-        except Exception:
+            # TorchScript archives (modelTrans.py exports) are zip
+            # containers the safe loader rejects; jit.load reads only
+            # the serialized graph + tensors.
             sd = torch.jit.load(path, map_location="cpu").state_dict()
+        except Exception:
+            # Last resort is full unpickling, which EXECUTES code
+            # embedded in the checkpoint — these are exactly the
+            # third-party .t7/.pt files this module ingests, so it is
+            # opt-in only.
+            if not os.environ.get("NGPD_UNSAFE_TORCH_LOAD"):
+                raise RuntimeError(
+                    f"{path} is neither a weights-only checkpoint nor a "
+                    "TorchScript archive. Loading it requires full "
+                    "unpickling, which executes arbitrary code from the "
+                    "file; set NGPD_UNSAFE_TORCH_LOAD=1 only if you "
+                    "trust its origin."
+                )
+            sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):  # a full module was pickled
         sd = sd.state_dict()
     return dict(sd)

@@ -123,6 +123,40 @@ def make_dgcnn_eval_step(model: DGCNN):
     return step
 
 
+def make_dgcnn_scan_steps(model, tx, data: dict, alpha=0.0, beta=1.0):
+    """(train, eval) supersteps scanning many minibatches per dispatch.
+
+    Per-step Python dispatch through a remote-device tunnel costs
+    ~100-300 ms of round-trip latency — at ~3k steps/epoch that is the
+    whole epoch. With the split staged on device (``data``: x (N,20,P),
+    y (N,3)), a jitted ``lax.scan`` over an (S, B) index block runs S
+    optimizer steps per dispatch; the gathers happen on device.
+    """
+    step = make_dgcnn_train_step(model, tx, alpha, beta)
+    estep = make_dgcnn_eval_step(model)
+
+    def train_block(state: TrainState, sel_block: jnp.ndarray):
+        def body(st, sel):
+            batch = {k: jnp.take(v, sel, axis=0) for k, v in data.items()}
+            return step(st, batch)
+
+        state, ms = jax.lax.scan(body, state, sel_block)
+        return state, {k: jnp.mean(v) for k, v in ms.items()}
+
+    def eval_block(state: TrainState, sel_block: jnp.ndarray):
+        def body(carry, sel):
+            batch = {k: jnp.take(v, sel, axis=0) for k, v in data.items()}
+            return carry, estep(state, batch)
+
+        _, ms = jax.lax.scan(body, None, sel_block)
+        return {k: jnp.mean(v) for k, v in ms.items()}
+
+    return (
+        jax.jit(train_block, donate_argnums=0),
+        jax.jit(eval_block),
+    )
+
+
 class ShardStore:
     """In-memory patch store streaming shuffled batches from the npz
     shards written by meshproc.collector — the MatrixDataset/DataLoader
@@ -243,9 +277,13 @@ def fit_dgcnn(
             if time.time() - last_beat > 120:
                 print(f"epoch {epoch}: step {n_b}...", flush=True)
                 last_beat = time.time()
-        train_metrics = (
-            {k: float(v) / n_b for k, v in acc.items()} if acc else {}
-        )
+        if acc is None:
+            raise ValueError(
+                f"no full train batches: split has {len(store.train['x'])} "
+                f"patches < batch_size {batch_size} — shrink the batch or "
+                "add data"
+            )
+        train_metrics = {k: float(v) / n_b for k, v in acc.items()}
         logger.log(epoch, "train", train_metrics)
 
         acc, n_b = None, 0
