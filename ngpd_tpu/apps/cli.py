@@ -220,6 +220,7 @@ def cmd_denoise_mesh(args):
         from ..models.dgcnn import dgcnn_from_variables
 
         variables = _load_dgcnn_ckpt(args.ckpt)
+        variables2 = _load_dgcnn_ckpt(args.ckpt2) if args.ckpt2 else None
         out = gcn_denoise_mesh(
             mesh,
             dgcnn_from_variables(variables),
@@ -227,6 +228,8 @@ def cmd_denoise_mesh(args):
             passes=args.gcns,
             gnf_cfg=cfg,
             batch_size=args.batch_size,
+            variables2=variables2,
+            bucketed=args.bucketed,
         )
     else:
         # Guidance: GT normals when given (the prediction-slot oracle),
@@ -306,8 +309,19 @@ def main(argv=None):
         help="DGCNN weights (.npz archive, or reference .t7/.pt)",
     )
     dm.add_argument(
+        "--ckpt2",
+        default=None,
+        help="second-stage weights for passes >= 2 (the cascade's "
+        "script_model_2, MeshViewer.cpp:787-798); defaults to --ckpt",
+    )
+    dm.add_argument(
         "--gcns", type=int, default=1,
         help="number of GCN+GNF passes (the app's box_gcns knob)",
+    )
+    dm.add_argument(
+        "--bucketed", action="store_true",
+        help="pad the mesh to power-of-two shape buckets so same-bucket "
+        "meshes share one compiled program",
     )
     dm.add_argument("--batch-size", type=int, default=720)
     dm.add_argument("--normal-iterations", type=int, default=12)

@@ -65,13 +65,22 @@ def update_vertex_positions(
     return out
 
 
-def _gnf_radius_sigma(mesh: TriMesh, multiple: float):
+def _gnf_radius_sigma(
+    mesh: TriMesh,
+    multiple: float,
+    face_mask: Optional[jnp.ndarray] = None,
+):
     """Mean adjacent-centroid distance x multiple
-    (MeshNormalFiltering.cpp:135-170)."""
+    (MeshNormalFiltering.cpp:135-170). ``face_mask`` excludes padded
+    sentinel faces (meshproc.bucketing) from the mean — real faces'
+    adjacency rows only ever reference real faces, so masking rows is
+    exact."""
     _, _, centroids = mesh.face_data()
     ff_idx, ff_mask = mesh.face_face_adjacency()
     d = jnp.linalg.norm(centroids[ff_idx] - centroids[:, None, :], axis=-1)
     m = ff_mask.astype(d.dtype)
+    if face_mask is not None:
+        m = m * face_mask.astype(d.dtype)[:, None]
     return multiple * jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
@@ -80,6 +89,7 @@ def guided_normal_filter(
     guidance_normals: jnp.ndarray,
     cfg: GNFConfig = GNFConfig(),
     neighbors: int = 64,
+    face_mask: Optional[jnp.ndarray] = None,
 ) -> TriMesh:
     """Denoise a mesh given per-face guidance normals (e.g. GCN
     predictions) — MeshNormalFiltering.denoiseWithPredictedNormal.
@@ -88,7 +98,7 @@ def guided_normal_filter(
     """
     v, f = mesh.v, mesh.f
     vf_idx, vf_mask = mesh.vertex_face_adjacency()
-    radius = _gnf_radius_sigma(mesh, cfg.radius_scale)
+    radius = _gnf_radius_sigma(mesh, cfg.radius_scale, face_mask)
 
     # Fixed neighborhoods from the INITIAL mesh (cpp:196-197).
     _, _, centroids0 = mesh.face_data()
@@ -105,7 +115,7 @@ def guided_normal_filter(
     for it in range(cfg.normal_iterations):
         m = TriMesh(cur_v, f, mesh._vf, mesh._ff)
         normals, areas, centroids = m.face_data()
-        sigma_s = _gnf_radius_sigma(m, cfg.sigma_s_scale)
+        sigma_s = _gnf_radius_sigma(m, cfg.sigma_s_scale, face_mask)
         c_j = centroids[nb_idx]
         sp2 = jnp.sum((centroids[:, None, :] - c_j) ** 2, axis=-1)
         spatial_w = jnp.exp(-0.5 * sp2 / jnp.maximum(sigma_s**2, 1e-30))

@@ -10,18 +10,28 @@ The C++ app's pipeline (MeshViewer.cpp:769-1416):
   4. guided bilateral normal filtering + vertex updates
      (MeshNormalFiltering.cpp) -> guided_normal_filter;
   5. optionally a SECOND GCN pass on the denoised mesh with rebuilt
-     neighborhoods (MeshViewer.cpp:1073-1336) -> passes > 1.
+     neighborhoods (MeshViewer.cpp:1073-1336) -> passes > 1. The app
+     loads a DISTINCT second network for that pass
+     (script_model_2.pt, MeshViewer.cpp:787-798) trained on
+     first-pass outputs — ``variables2`` here.
+
+``bucketed=True`` pads the mesh to power-of-two shape buckets
+(meshproc.bucketing) so meshes of similar size share one compiled
+program — the difference between O(#meshes) and O(#buckets) XLA
+compiles over a corpus.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..config import GNFConfig, PatchConfig
 from ..models.dgcnn import DGCNN
+from .bucketing import pad_mesh
 from .filtering import guided_normal_filter
 from .patches import extract_mesh_patches, unrotate_predictions
 from .trimesh import TriMesh
@@ -72,14 +82,39 @@ def gcn_denoise_mesh(
     gnf_cfg: GNFConfig = GNFConfig(),
     patch_cfg: PatchConfig = PatchConfig(),
     batch_size: int = 720,
+    variables2=None,
+    bucketed: bool = False,
 ) -> TriMesh:
     """GCN-predicted normals -> guided filtering, optionally iterated
     with rebuilt neighborhoods (the app's box_gcns knob,
-    GCNDenoiser.cpp:25-33)."""
-    out = mesh
-    for _ in range(max(1, passes)):
+    GCNDenoiser.cpp:25-33).
+
+    ``variables2``: weights for every pass after the first — the
+    cascade's second-stage network trained on first-pass outputs
+    (script_model_2.pt, MeshViewer.cpp:787-798). Defaults to
+    ``variables`` (single-model iteration).
+    """
+    face_mask: Optional[jnp.ndarray] = None
+    if bucketed:
+        padded = pad_mesh(mesh)
+        out: TriMesh = padded.mesh
+        face_mask = padded.face_mask
+    else:
+        out = mesh
+    for p in range(max(1, passes)):
+        pass_vars = variables if p == 0 or variables2 is None else variables2
         guidance = predict_face_normals(
-            out, model, variables, patch_cfg, batch_size
+            out, model, pass_vars, patch_cfg, batch_size
         )
-        out = guided_normal_filter(out, guidance, gnf_cfg)
+        if face_mask is not None:
+            # Sentinel faces guide with their own normals; their
+            # neighborhoods never touch real faces, so this only keeps
+            # their rows numerically tame.
+            own, _, _ = out.face_data()
+            guidance = jnp.where(face_mask[:, None], guidance, own)
+        out = guided_normal_filter(
+            out, guidance, gnf_cfg, face_mask=face_mask
+        )
+    if bucketed:
+        return mesh.with_vertices(out.v[: mesh.num_vertices])
     return out
