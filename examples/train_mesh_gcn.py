@@ -1,7 +1,7 @@
 """Train the mesh-patch DGCNN end-to-end and score the golden meshes.
 
-The reference ships no trained weights (bunny_0_2.zip is a git-lfs
-pointer), so this script reproduces the whole GCN-Denoiser training
+The reference ships no trained weights (no .pt/.t7 file exists in the
+snapshot), so this script reproduces the whole GCN-Denoiser training
 recipe with ngpd_tpu: noisy twins + per-face patches from the shipped
 clean meshes (PatchCollector conventions), DGCNN regression of the
 patch-frame center normal (DenoisingGCN/train.py semantics), then the
@@ -150,6 +150,64 @@ def train(args):
     print("saved", CKPT / args.out)
 
 
+def build2(args):
+    """Stage-2 (cascade) dataset: run the FULL stage-1 pipeline
+    (GCN guidance -> GNF) over every noisy training mesh, then extract
+    patches from those *denoised* meshes with GT normals from the clean
+    twins — the training distribution of the reference's second network
+    (script_model_2.pt, MeshViewer.cpp:787-798, 1073-1336): near-clean
+    geometry with residual feature blur."""
+    from ngpd_tpu.io.obj import save_obj
+    from ngpd_tpu.learn.weights import load_dgcnn_npz
+    from ngpd_tpu.meshproc.collector import (
+        clean_twin_path,
+        collect_patch_shard,
+        load_mesh,
+    )
+    from ngpd_tpu.meshproc.gcn_denoiser import gcn_denoise_mesh
+    from ngpd_tpu.models.dgcnn import DGCNN
+
+    model = DGCNN()
+    variables = load_dgcnn_npz(CKPT / args.ckpt)
+    noisy_dir = WORK / "clean" / "Noise"
+    den_dir = WORK / "denoised1"
+    den_dir.mkdir(parents=True, exist_ok=True)
+    shards2 = WORK / os.environ.get("NGPD_SHARDS2", "shards2")
+    shards2.mkdir(parents=True, exist_ok=True)
+
+    noisy_paths = sorted(noisy_dir.glob("*.obj"))
+    assert noisy_paths, "run the build phase first (it writes Noise/)"
+    t0 = time.time()
+    for i, noisy_p in enumerate(noisy_paths):
+        out_npz = shards2 / f"{noisy_p.stem}.npz"
+        if out_npz.exists():
+            print(f"[{i+1}/{len(noisy_paths)}] {noisy_p.stem}: cached")
+            continue
+        den_p = den_dir / noisy_p.name
+        if not den_p.exists():
+            mesh = load_mesh(noisy_p)
+            den = gcn_denoise_mesh(
+                mesh, model, variables, passes=1, bucketed=True
+            )
+            save_obj(
+                str(den_p), np.asarray(den.v), faces=np.asarray(den.f)
+            )
+        collect_patch_shard(
+            den_p,
+            out_npz,
+            gt_path=clean_twin_path(noisy_p),
+            max_patches=PATCHES_PER_MESH,
+            seed=4000 + i,
+            bucketed=True,
+        )
+        print(
+            f"[{i+1}/{len(noisy_paths)}] {noisy_p.stem}: shard done "
+            f"({time.time() - t0:.0f}s elapsed)",
+            flush=True,
+        )
+    print("stage-2 dataset done:", len(list(shards2.glob("*.npz"))), "shards")
+
+
 def evaluate(args):
     from ngpd_tpu.learn.weights import load_dgcnn_npz
     from ngpd_tpu.meshproc.collector import load_mesh
@@ -159,7 +217,10 @@ def evaluate(args):
     from ngpd_tpu.ops import metrics as pm
 
     model = DGCNN()
-    variables = load_dgcnn_npz(CKPT / "dgcnn_mesh.npz")
+    variables = load_dgcnn_npz(CKPT / args.ckpt)
+    variables2 = (
+        load_dgcnn_npz(CKPT / args.ckpt2) if args.ckpt2 else None
+    )
 
     cd = lambda a, b: float(pm.chamfer_distance(a, b).mean())  # noqa: E731
     rows = []
@@ -169,7 +230,8 @@ def evaluate(args):
         ref_out = load_mesh(REF / ref_rel)
         t0 = time.time()
         ours = gcn_denoise_mesh(
-            noisy, model, variables, passes=args.gcns
+            noisy, model, variables, passes=args.gcns,
+            variables2=variables2, bucketed=args.bucketed,
         )
         dt = time.time() - t0
         row = {
@@ -184,14 +246,14 @@ def evaluate(args):
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
-    out = WORK / "golden_eval.json"
+    out = WORK / args.eval_out
     out.write_text(json.dumps(rows, indent=2))
     print("wrote", out)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["build", "train", "eval"])
+    ap.add_argument("phase", choices=["build", "train", "build2", "eval"])
     ap.add_argument("--epochs", type=int, default=24)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -199,10 +261,19 @@ def main():
     ap.add_argument("--out", default="dgcnn_mesh.npz",
                     help="checkpoint filename under assets/")
     ap.add_argument("--gcns", type=int, default=2)
+    ap.add_argument("--ckpt", default="dgcnn_mesh.npz",
+                    help="stage-1 weights under assets/ (build2 + eval)")
+    ap.add_argument("--ckpt2", default=None,
+                    help="second-stage weights under assets/ (eval)")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="shape-bucketed denoise (shared compiles)")
+    ap.add_argument("--eval-out", default="golden_eval.json")
     ap.add_argument("--cosine", action="store_true",
                     help="cosine-decay the learning rate over the run")
     args = ap.parse_args()
-    {"build": build, "train": train, "eval": evaluate}[args.phase](args)
+    {"build": build, "train": train, "build2": build2, "eval": evaluate}[
+        args.phase
+    ](args)
 
 
 if __name__ == "__main__":

@@ -257,6 +257,86 @@ def cmd_denoise_mesh(args):
     print(f"wrote {args.output}")
 
 
+def cmd_add_noise(args):
+    """Corrupt a mesh or point cloud — the Qt app's noise buttons
+    (slotGenNoise/slotLoadNoise, GCNDenoiser.cpp:25-33; Noise.cpp:22-187;
+    Pointcloud/Modules/Noise.py:90-108) as a subcommand, completing the
+    end-to-end corrupt -> denoise -> score loop without Python."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import noise as noise_mod
+    from ..io.obj import read_obj, save_obj
+
+    noise_type = {"gaussian": noise_mod.GAUSSIAN,
+                  "impulse": noise_mod.IMPULSIVE}[args.type]
+    direction = {"normal": noise_mod.ALONG_NORMAL,
+                 "random": noise_mod.RANDOM_DIRECTION}[args.direction]
+
+    def _save_cloud(path, points, normals=None):
+        if str(path).endswith(".ply"):
+            from ..io.ply import save_ply
+
+            save_ply(path, np.asarray(points), normals)
+        elif str(path).endswith((".xyz", ".clean_xyz")):
+            from ..io.xyz import save_xyz
+
+            save_xyz(path, np.asarray(points), normals)
+        else:
+            save_obj(path, np.asarray(points), normals)
+
+    faces = None
+    if args.input.endswith(".obj"):
+        data = read_obj(args.input)
+        if data.fv is not None and data.fv.shape[0] > 0:
+            faces = np.asarray(data.fv)
+    if args.load_noise:
+        # slotLoadNoise: re-apply persisted noisy positions.
+        noisy = noise_mod.load_noise(args.load_noise)
+        if faces is not None:
+            save_obj(args.output, np.asarray(noisy), faces=faces)
+        else:
+            _save_cloud(args.output, noisy)
+        print(f"wrote {args.output} (positions from {args.load_noise})")
+        return
+
+    key = jax.random.PRNGKey(args.seed)
+    if faces is not None:
+        from ..meshproc.trimesh import TriMesh, add_mesh_noise
+
+        mesh = TriMesh.from_numpy(data.v, faces)
+        noisy_mesh = add_mesh_noise(
+            mesh, key, args.level, noise_type=noise_type,
+            direction=direction,
+        )
+        noisy = noisy_mesh.v
+        save_obj(args.output, np.asarray(noisy), faces=faces)
+    else:
+        from ..ops import metrics
+        from ..ops.knn import knn
+
+        cloud = _load_cloud(args.input)
+        pts = cloud.points
+        nrm = (
+            cloud.normals if cloud.has_normals()
+            else _estimated_normals(pts)
+        )
+        nbh, _ = knn(pts, 12, exclude_self=True)
+        mel = metrics.average_edge_length(pts, nbh)
+        noisy = noise_mod.generate_noise(
+            key, pts, nrm, args.level, mel, noise_type=noise_type,
+            direction=direction,
+        )
+        _save_cloud(args.output, noisy, np.asarray(nrm))
+    print(f"wrote {args.output}")
+    if args.save_noise:
+        name = noise_mod.save_noise(
+            args.save_noise, noisy, args.level, noise_type=noise_type,
+            direction=direction,
+        )
+        print(f"saved noise realization {args.save_noise}/{name}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="ngpd_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -298,6 +378,25 @@ def main(argv=None):
     pr.add_argument("-o", "--output", required=True)
     pr.add_argument("--ckpt", default=None)
     pr.set_defaults(fn=cmd_predict_normals)
+
+    an = sub.add_parser(
+        "add-noise", help="corrupt a mesh/cloud (the app's noise buttons)"
+    )
+    an.add_argument("input")
+    an.add_argument("-o", "--output", required=True)
+    an.add_argument("--level", type=float, default=0.3,
+                    help="stdev = level x mean edge length")
+    an.add_argument("--type", choices=["gaussian", "impulse"],
+                    default="gaussian")
+    an.add_argument("--direction", choices=["normal", "random"],
+                    default="normal")
+    an.add_argument("--seed", type=int, default=0)
+    an.add_argument("--save-noise", default=None, metavar="DIR",
+                    help="persist the noisy positions (Noise.saveNoise)")
+    an.add_argument("--load-noise", default=None, metavar="FILE",
+                    help="re-apply a persisted realization "
+                    "(Noise.loadNoise) instead of generating")
+    an.set_defaults(fn=cmd_add_noise)
 
     dm = sub.add_parser("denoise-mesh", help="GCN + guided normal filtering")
     dm.add_argument("input")

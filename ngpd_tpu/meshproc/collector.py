@@ -94,10 +94,15 @@ def collect_patches(
     noisy_path: PathLike,
     gt_path: Optional[PathLike] = None,
     cfg: PatchConfig = PatchConfig(),
+    bucketed: bool = False,
 ) -> MeshPatchBatch:
     """Patches for every face of a noisy mesh, GT normals from the clean
     twin (setGT, PatchCollector.py:69-77; twin located by convention
-    when ``gt_path`` is omitted)."""
+    when ``gt_path`` is omitted). ``bucketed`` extracts on the padded
+    mesh (meshproc.bucketing) so same-bucket meshes share one compiled
+    program; outputs are cropped back to the real faces."""
+    import jax.numpy as jnp
+
     noisy = load_mesh(noisy_path)
     gt_path = Path(gt_path) if gt_path is not None else clean_twin_path(noisy_path)
     gt = load_mesh(gt_path)
@@ -107,7 +112,22 @@ def collect_patches(
             f"{noisy.num_faces} — not the same topology"
         )
     gt_normals, _, _ = gt.face_data()
-    return extract_mesh_patches(noisy, gt_normals=gt_normals, cfg=cfg)
+    if not bucketed:
+        return extract_mesh_patches(noisy, gt_normals=gt_normals, cfg=cfg)
+
+    from .bucketing import pad_mesh
+
+    padded = pad_mesh(noisy)
+    own, _, _ = padded.mesh.face_data()
+    gt_pad = own.at[: padded.num_faces].set(gt_normals)
+    batch = extract_mesh_patches(padded.mesh, gt_normals=gt_pad, cfg=cfg)
+    nf = padded.num_faces
+    return MeshPatchBatch(
+        inputs=batch.inputs[:nf],
+        rotations=batch.rotations[:nf],
+        y=batch.y[:nf],
+        node_mask=batch.node_mask[:nf],
+    )
 
 
 def _mat_arrays(batch: MeshPatchBatch, i: int):
@@ -163,11 +183,12 @@ def collect_patch_shard(
     max_patches: int = -1,
     cfg: PatchConfig = PatchConfig(),
     seed: int = 0,
+    bucketed: bool = False,
 ) -> str:
     """The fast archive: every (subsampled) patch of one mesh in a
     single ``.npz`` shard with x (B, 20, P) float32, y (B, 3), rot
     (B, 3, 3) — what the DGCNN trainer streams."""
-    batch = collect_patches(noisy_path, gt_path, cfg)
+    batch = collect_patches(noisy_path, gt_path, cfg, bucketed=bucketed)
     nf = batch.inputs.shape[0]
     idx = np.arange(nf)
     if 0 <= max_patches < nf:

@@ -219,3 +219,78 @@ def test_add_mesh_noise():
     vn = np.asarray(m.vertex_normals())
     cross = np.linalg.norm(np.cross(disp, vn), axis=1)
     np.testing.assert_allclose(cross, 0.0, atol=1e-6)
+
+
+def test_cli_noise_roundtrip(tmp_path, capsys):
+    """The full no-Python loop the Qt app's buttons cover: generate
+    noise (slotGenNoise) -> persist -> re-load (slotLoadNoise) ->
+    denoise -> score, all through CLI subcommands."""
+    from ngpd_tpu.apps.cli import main
+    from ngpd_tpu.io.obj import read_obj
+    from ngpd_tpu.meshproc.metrics import mean_angular_error
+    from ngpd_tpu.meshproc.synthetic import wedge
+    from ngpd_tpu.meshproc.trimesh import TriMesh
+
+    clean = wedge()
+    clean_p = tmp_path / "clean.obj"
+    save_obj(clean_p, np.asarray(clean.v), faces=np.asarray(clean.f))
+
+    noisy_p = tmp_path / "noisy.obj"
+    noise_dir = tmp_path / "noise"
+    main([
+        "add-noise", str(clean_p), "-o", str(noisy_p),
+        "--level", "0.4", "--save-noise", str(noise_dir),
+    ])
+    realizations = list(noise_dir.glob("*.npz"))
+    assert len(realizations) == 1
+
+    # slotLoadNoise: reapplying the persisted realization reproduces
+    # the same corrupted mesh bit-for-bit.
+    reload_p = tmp_path / "reload.obj"
+    main([
+        "add-noise", str(clean_p), "-o", str(reload_p),
+        "--load-noise", str(realizations[0]),
+    ])
+    a, b = read_obj(str(noisy_p)), read_obj(str(reload_p))
+    np.testing.assert_array_equal(a.v, b.v)
+    np.testing.assert_array_equal(a.fv, b.fv)
+
+    out_p = tmp_path / "denoised.obj"
+    main([
+        "denoise-mesh", str(noisy_p), "-o", str(out_p),
+        "--gt", str(clean_p), "--normal-iterations", "4",
+    ])
+    noisy_mesh_d = read_obj(str(noisy_p))
+    out_d = read_obj(str(out_p))
+    ea_noisy = float(mean_angular_error(
+        TriMesh.from_numpy(noisy_mesh_d.v, noisy_mesh_d.fv), clean
+    ))
+    ea_out = float(mean_angular_error(
+        TriMesh.from_numpy(out_d.v, out_d.fv), clean
+    ))
+    assert ea_out < 0.5 * ea_noisy
+
+    capsys.readouterr()  # drop the denoise-mesh progress prints
+    main(["eval", str(clean_p), str(out_p)])
+    scored = json.loads(capsys.readouterr().out)
+    assert scored["cd"] > 0
+
+
+def test_cli_add_noise_point_cloud(tmp_path):
+    """Point-cloud branch: impulse noise corrupts only a fraction of
+    points (Noise.py:55-57 semantics)."""
+    from ngpd_tpu.apps.cli import main
+
+    pts, nrm = plane_grid(16)
+    in_p = tmp_path / "cloud.xyz"
+    out_p = tmp_path / "cloud_noisy.xyz"
+    np.savetxt(in_p, np.concatenate([pts, nrm], axis=1), fmt="%.6f")
+    main([
+        "add-noise", str(in_p), "-o", str(out_p),
+        "--level", "0.3", "--type", "impulse",
+    ])
+    from ngpd_tpu.io.xyz import load_xyz
+
+    noisy = np.asarray(load_xyz(str(out_p)).points)
+    moved = np.linalg.norm(noisy - pts, axis=1) > 1e-12
+    assert 0 < moved.sum() < len(pts)
