@@ -255,6 +255,14 @@ def cmd_denoise_mesh(args):
         faces=np.asarray(out.f),
     )
     print(f"wrote {args.output}")
+    if args.html:
+        from .htmlviewer import export_html
+
+        export_html(
+            args.html, np.asarray(out.v), faces=np.asarray(out.f),
+            colors=colors, title=Path(args.output).name,
+        )
+        print(f"wrote {args.html}")
 
 
 def cmd_add_noise(args):
@@ -429,6 +437,11 @@ def main(argv=None):
                     "slider, MeshNormalFiltering.cpp:37)")
     dm.add_argument("--vertex-iterations", type=int, default=16)
     dm.add_argument("--error-map", action="store_true")
+    dm.add_argument(
+        "--html", default=None, metavar="FILE",
+        help="also write a standalone orbit-viewer .html (error-map "
+        "colored when --error-map is on)",
+    )
     dm.set_defaults(fn=cmd_denoise_mesh)
 
     args = p.parse_args(argv)
