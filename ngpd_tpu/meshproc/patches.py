@@ -72,34 +72,36 @@ def _alignment_rotation(dv, nj, areas_j, mask, center_normal):
     return rows  # (F, 3, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _extract(v, f, ff_idx, ff_mask, gt_normals, cfg: PatchConfig):
-    from .trimesh import face_normals_areas_centroids
+def _extract_rows(
+    member, mask, centroids_q, radius_q, normals_q, gt_q,
+    v, f, normals, areas, centroids, deg, ff_idx, ff_mask, p,
+):
+    """Per-query-face patch assembly.
 
-    normals, areas, centroids = face_normals_areas_centroids(v, f)
-    nf = f.shape[0]
-    p = cfg.num_nodes
-
-    radius = jnp.sqrt(areas * cfg.radius_factor)  # (F,)
-    nbh, d2 = knn(centroids, p)
-    mask = nbh.mask & (d2 <= (radius**2)[:, None])  # (F, P)
-    member = nbh.idx  # (F, P) global face ids; column 0 is the center.
+    Query-axis args (first group) are (C, ...) for a chunk of C center
+    faces; the mesh-global arrays (second group) stay unchunked so
+    gathers reach every face. Splitting the query axis bounds the
+    (C, P, 3) intermediates — on TPU a trailing dim of 3 pads to 128
+    lanes (42.7x), which OOMs HBM when C is the full face count of a
+    100k-face mesh."""
+    nf = member.shape[0]
 
     c_j = centroids[member]  # (F, P, 3)
     n_j = normals[member]
     a_j = areas[member]
-    dv = (c_j - centroids[:, None, :]) / radius[:, None, None]
+    dv = (c_j - centroids_q[:, None, :]) / radius_q[:, None, None]
 
-    r = _alignment_rotation(dv, n_j, a_j, mask, normals)
+    r = _alignment_rotation(dv, n_j, a_j, mask, normals_q)
 
     # Aligned geometry in the unit patch frame.
     corners = v[f[member]]  # (F, P, 3corners, 3)
-    rel = (corners - centroids[:, None, None, :]) / radius[:, None, None, None]
+    rel = (corners - centroids_q[:, None, None, :]) / radius_q[
+        :, None, None, None
+    ]
     corners_al = jnp.einsum("fij,fpcj->fpci", r, rel)
     normals_al = jnp.einsum("fij,fpj->fpi", r, n_j)
     centers_al = jnp.mean(corners_al, axis=2)  # (F, P, 3)
 
-    deg = jnp.sum(mask, axis=1).astype(jnp.float32)  # radius-nbr count
     deg_j = deg[member]
     deg_feat = (((deg_j - 12.0) / 6.0) + 1.0) / 2.0  # PatchData.cpp:221
 
@@ -107,7 +109,7 @@ def _extract(v, f, ff_idx, ff_mask, gt_normals, cfg: PatchConfig):
         [
             (centers_al + 1.0) / 2.0,  # 0:3
             (normals_al + 1.0) / 2.0,  # 3:6
-            (a_j / jnp.maximum(radius**2, 1e-30)[:, None])[..., None],  # 6
+            (a_j / jnp.maximum(radius_q**2, 1e-30)[:, None])[..., None],  # 6
             deg_feat[..., None],  # 7
             (corners_al.reshape(nf, p, 9) + 1.0) / 2.0,  # 8:17
         ],
@@ -140,9 +142,58 @@ def _extract(v, f, ff_idx, ff_mask, gt_normals, cfg: PatchConfig):
     inputs = jnp.concatenate([feats, nbr_rows], axis=-1)  # (F, P, 20)
     inputs = jnp.swapaxes(inputs, 1, 2)  # (F, 20, P) — torch layout
 
-    gt_n = normals if gt_normals is None else gt_normals
-    y = jnp.einsum("fij,fj->fi", r, gt_n)
+    y = jnp.einsum("fij,fj->fi", r, gt_q)
     return MeshPatchBatch(inputs=inputs, rotations=r, y=y, node_mask=mask)
+
+
+# Query faces per lax.map step in the chunked path. Worst intermediate
+# is ~3 stacked (C, P, 3) f32 buffers lane-padded 42.7x: C=16384, P=64
+# -> ~1.6 GB of HLO temp, comfortably inside one v5e chip's HBM.
+_CHUNK = 16 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _extract(v, f, ff_idx, ff_mask, gt_normals, cfg: PatchConfig):
+    from .trimesh import face_normals_areas_centroids
+
+    normals, areas, centroids = face_normals_areas_centroids(v, f)
+    nf = f.shape[0]
+    p = cfg.num_nodes
+
+    radius = jnp.sqrt(areas * cfg.radius_factor)  # (F,)
+    nbh, d2 = knn(centroids, p)
+    mask = nbh.mask & (d2 <= (radius**2)[:, None])  # (F, P)
+    member = nbh.idx  # (F, P) global face ids; column 0 is the center.
+    deg = jnp.sum(mask, axis=1).astype(jnp.float32)  # radius-nbr count
+    gt_n = normals if gt_normals is None else gt_normals
+
+    if nf <= _CHUNK:
+        return _extract_rows(
+            member, mask, centroids, radius, normals, gt_n,
+            v, f, normals, areas, centroids, deg, ff_idx, ff_mask, p,
+        )
+
+    # Big mesh: bound HLO temps by mapping over query-face chunks.
+    # Gathers still reach the whole mesh; only the query axis is split.
+    pad = (-nf) % _CHUNK
+    n_chunks = (nf + pad) // _CHUNK
+
+    def _chunked(x):
+        x = jnp.concatenate([x, x[:pad]], axis=0) if pad else x
+        return x.reshape((n_chunks, _CHUNK) + x.shape[1:])
+
+    chunked = jax.tree.map(
+        _chunked, (member, mask, centroids, radius, normals, gt_n)
+    )
+    out = jax.lax.map(
+        lambda args: _extract_rows(
+            *args, v, f, normals, areas, centroids, deg, ff_idx, ff_mask, p
+        ),
+        chunked,
+    )
+    return jax.tree.map(
+        lambda x: x.reshape((n_chunks * _CHUNK,) + x.shape[2:])[:nf], out
+    )
 
 
 def extract_mesh_patches(

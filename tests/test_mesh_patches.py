@@ -93,3 +93,74 @@ def test_patch_on_finer_mesh():
     assert batch.inputs.shape == (32, 20, 16)
     # Most patches should have several valid members.
     assert float(np.asarray(batch.node_mask).mean()) > 0.4
+
+
+def test_chunked_extraction_matches_unchunked(monkeypatch):
+    """Big meshes route through the lax.map query-chunked path (the
+    full-width program OOMs HBM at ~100k faces from 42.7x lane
+    padding of (F, P, 3) temps). Chunking must be invisible: force a
+    tiny chunk so the box mesh spans several padded chunks and compare
+    against the one-shot program."""
+    from ngpd_tpu.meshproc import patches as P
+    from ngpd_tpu.meshproc.synthetic import torus
+
+    # On TPU the two programs are bitwise identical. On the CPU test
+    # platform XLA's reduction blocking differs by batch size, which
+    # perturbs the voting tensor in the last ulp — and the *tangent*
+    # eigenbasis is intrinsically degenerate on smooth patches (the
+    # tensor is built from reflected normals, so lambda2 ~ lambda3 ~ 0
+    # away from sharp features). The cross-platform contract is
+    # therefore: masks and rotation-invariant features exact, the
+    # normal axis tight, and the tangent frames equal up to an
+    # in-plane rotation.
+    mesh = torus(n_major=16, n_minor=8)  # 256 faces -> 2 full chunks
+    rng = np.random.default_rng(0)
+    v = np.asarray(mesh.v) * np.array([1.0, 1.3, 1.7])
+    v = v + rng.normal(0, 0.003, v.shape)
+    mesh = TriMesh.from_numpy(v, np.asarray(mesh.f))
+    want = extract_mesh_patches(mesh, cfg=CFG)
+
+    monkeypatch.setattr(P, "_CHUNK", 128)
+    P._extract.clear_cache()
+    try:
+        got = extract_mesh_patches(mesh, cfg=CFG)
+    finally:
+        P._extract.clear_cache()
+
+    assert got.inputs.shape == want.inputs.shape
+    np.testing.assert_array_equal(
+        np.asarray(got.node_mask), np.asarray(want.node_mask)
+    )
+
+    rw = np.asarray(want.rotations)
+    rg = np.asarray(got.rotations)
+    # Normal axis (row 0, the dominant eigenvector) is stable.
+    np.testing.assert_allclose(rg[:, 0, :], rw[:, 0, :], atol=1e-4)
+    # Frames agree up to a rotation about the normal: the relative
+    # rotation Q = got @ want^T must fix e0.
+    q = np.einsum("fij,fkj->fik", rg, rw)
+    np.testing.assert_allclose(q[:, 0, 0], 1.0, atol=1e-4)
+    np.testing.assert_allclose(q[:, 0, 1:], 0.0, atol=1e-2)
+    np.testing.assert_allclose(q[:, 1:, 0], 0.0, atol=1e-2)
+
+    # y = R @ gt: the normal component and the tangential magnitude
+    # are frame-choice invariant.
+    yw = np.asarray(want.y)
+    yg = np.asarray(got.y)
+    np.testing.assert_allclose(yg[:, 0], yw[:, 0], atol=1e-4)
+    np.testing.assert_allclose(
+        np.linalg.norm(yg[:, 1:], axis=1),
+        np.linalg.norm(yw[:, 1:], axis=1),
+        atol=1e-4,
+    )
+
+    # Rotation-invariant feature rows: area ratio (6), degree (7),
+    # patch-local neighbor indices (17:20); and per-node distances of
+    # the aligned centroids (rows 0:3 store (x+1)/2).
+    iw = np.asarray(want.inputs)
+    ig = np.asarray(got.inputs)
+    np.testing.assert_allclose(ig[:, 6:8], iw[:, 6:8], atol=1e-6)
+    np.testing.assert_array_equal(ig[:, 17:20], iw[:, 17:20])
+    cw = np.linalg.norm(2.0 * iw[:, 0:3] - 1.0, axis=1)
+    cg = np.linalg.norm(2.0 * ig[:, 0:3] - 1.0, axis=1)
+    np.testing.assert_allclose(cg, cw, atol=1e-5)
