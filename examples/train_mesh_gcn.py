@@ -127,6 +127,17 @@ def train(args):
         jax.random.PRNGKey(0), learning_rate=args.lr,
         decay_steps=steps_per_epoch * args.epochs if args.cosine else None,
     )
+    if args.init_from:
+        # Warm start (stage-2 cascade): the second network sees
+        # near-clean geometry with residual feature blur — stage-1
+        # weights are already most of the way there, so fine-tuning
+        # converges in a fraction of the from-scratch budget.
+        from ngpd_tpu.learn.train_dgcnn import TrainState
+        from ngpd_tpu.learn.weights import load_dgcnn_npz
+
+        init_vars = load_dgcnn_npz(CKPT / args.init_from)
+        state = TrainState.create(init_vars, tx, state.rng)
+        print("warm-started from", CKPT / args.init_from)
     state = fit_dgcnn(
         model,
         state,
@@ -265,6 +276,8 @@ def main():
                     help="stage-1 weights under assets/ (build2 + eval)")
     ap.add_argument("--ckpt2", default=None,
                     help="second-stage weights under assets/ (eval)")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start training from these assets/ weights")
     ap.add_argument("--bucketed", action="store_true",
                     help="shape-bucketed denoise (shared compiles)")
     ap.add_argument("--eval-out", default="golden_eval.json")
