@@ -29,6 +29,15 @@ from pathlib import Path
 
 import numpy as np
 
+if os.environ.get("NGPD_CPU"):
+    # The ambient axon sitecustomize pins jax_platforms="axon,cpu", so
+    # the JAX_PLATFORMS env var alone cannot force CPU (same dance as
+    # tests/conftest.py); build phases are runnable on CPU when the TPU
+    # tunnel is down.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 REF = Path("/root/reference")
 WORK = Path("/tmp/ngpd_meshds")
 SHARDS = WORK / os.environ.get("NGPD_SHARDS", "shards")
@@ -186,10 +195,19 @@ def build2(args):
     shards2 = WORK / os.environ.get("NGPD_SHARDS2", "shards2")
     shards2.mkdir(parents=True, exist_ok=True)
 
-    noisy_paths = sorted(noisy_dir.glob("*.obj"))
+    # Smallest meshes first so a budget-bound (or CPU-fallback) run
+    # banks the cheap shards before committing to the 70k-face ones;
+    # NGPD_MAX_FACES skips meshes above a face budget entirely.
+    noisy_paths = sorted(
+        noisy_dir.glob("*.obj"), key=lambda p: p.stat().st_size
+    )
+    max_faces = int(os.environ.get("NGPD_MAX_FACES", 0))
     assert noisy_paths, "run the build phase first (it writes Noise/)"
     t0 = time.time()
     for i, noisy_p in enumerate(noisy_paths):
+        if max_faces and load_mesh(noisy_p).f.shape[0] > max_faces:
+            print(f"[{i+1}/{len(noisy_paths)}] {noisy_p.stem}: skipped (faces)")
+            continue
         out_npz = shards2 / f"{noisy_p.stem}.npz"
         if out_npz.exists():
             print(f"[{i+1}/{len(noisy_paths)}] {noisy_p.stem}: cached")
