@@ -172,6 +172,59 @@ def test_cli_denoise_mesh_with_gcn_ckpt(tmp_path, capsys):
     assert "Ea before:" in captured and "Ea after:" in captured
 
 
+def test_cli_denoise_mesh_cascade_ckpt2(tmp_path):
+    """--ckpt2 must drive the SECOND pass from the CLI (the cascade's
+    two-network design: script_model_2.pt, MeshViewer.cpp:787-798):
+    two-pass output with a distinct second checkpoint differs from
+    two-pass with the first checkpoint alone."""
+    import jax
+
+    from ngpd_tpu.apps.cli import main
+    from ngpd_tpu.io.obj import load_obj, save_obj as save
+    from ngpd_tpu.learn.train_dgcnn import dgcnn_variables, init_dgcnn
+    from ngpd_tpu.learn.weights import save_variables_npz
+
+    n = 6
+    rng = np.random.default_rng(9)
+    xs, ys = np.meshgrid(
+        np.arange(n, dtype=np.float32), np.arange(n, dtype=np.float32)
+    )
+    v = np.stack(
+        [xs.ravel(), ys.ravel(), np.zeros(n * n, np.float32)], axis=1
+    )
+    f = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (
+                i * n + j, i * n + j + 1, (i + 1) * n + j, (i + 1) * n + j + 1
+            )
+            f.extend([[a, b, c], [b, d, c]])
+    f = np.asarray(f, np.int32)
+    noisy_p = tmp_path / "noisy.obj"
+    save(str(noisy_p), v + 0.05 * rng.normal(size=v.shape).astype(np.float32),
+         faces=f)
+
+    ckpts = []
+    for seed in (0, 1):
+        _, state, _ = init_dgcnn(jax.random.PRNGKey(seed), emb_dims=64)
+        p = tmp_path / f"w{seed}.npz"
+        save_variables_npz(p, jax.device_get(dgcnn_variables(state)))
+        ckpts.append(p)
+
+    out_single = tmp_path / "out_single.obj"
+    out_cascade = tmp_path / "out_cascade.obj"
+    common = ["--gcns", "2", "--batch-size", "128",
+              "--normal-iterations", "2", "--vertex-iterations", "2"]
+    main(["denoise-mesh", str(noisy_p), "-o", str(out_single),
+          "--ckpt", str(ckpts[0])] + common)
+    main(["denoise-mesh", str(noisy_p), "-o", str(out_cascade),
+          "--ckpt", str(ckpts[0]), "--ckpt2", str(ckpts[1])] + common)
+    a = np.asarray(load_obj(out_single).points)
+    b = np.asarray(load_obj(out_cascade).points)
+    assert a.shape == b.shape
+    assert float(np.abs(a - b).max()) > 1e-6
+
+
 def test_viz_outputs(tmp_path):
     from ngpd_tpu.apps import viz
 
