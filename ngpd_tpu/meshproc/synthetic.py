@@ -29,6 +29,12 @@ __all__ = [
     "lbracket",
     "icosphere",
     "torus",
+    "revolve",
+    "fillet_box",
+    "chamfer_box",
+    "cone",
+    "spherecone",
+    "cross",
     "cad_suite",
 ]
 
@@ -275,6 +281,143 @@ def torus(r_major: float = 0.5, r_minor: float = 0.2,
     )
 
 
+def revolve(profile, segments: int = 28) -> TriMesh:
+    """Surface of revolution of an (r, z) polyline around the z axis.
+
+    The profile must start and end ON the axis (r == 0) so the result
+    is watertight: axis endpoints become single apex vertices with
+    triangle fans, interior points become ``segments``-wide rings
+    joined by quad strips. Orientation is fixed afterwards by the
+    signed-volume test, so the profile may be authored in either
+    direction."""
+    prof = np.asarray(profile, np.float64)
+    assert abs(prof[0, 0]) < 1e-12 and abs(prof[-1, 0]) < 1e-12, (
+        "profile must start and end on the axis (r == 0)"
+    )
+    assert (prof[1:-1, 0] > 1e-9).all(), "interior profile points need r > 0"
+    th = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    cs, sn = np.cos(th), np.sin(th)
+
+    verts, rows = [], []
+    for r, z in prof:
+        if r < 1e-12:
+            rows.append((len(verts), True))
+            verts.append([0.0, 0.0, z])
+        else:
+            rows.append((len(verts), False))
+            verts.extend(np.stack([r * cs, r * sn, np.full(segments, z)], 1))
+    faces = []
+    for (a0, a_apex), (b0, b_apex) in zip(rows[:-1], rows[1:]):
+        for s in range(segments):
+            s2 = (s + 1) % segments
+            if a_apex:
+                faces.append([a0, b0 + s, b0 + s2])
+            elif b_apex:
+                faces.append([a0 + s, b0, a0 + s2])
+            else:
+                faces.append([a0 + s, b0 + s, b0 + s2])
+                faces.append([a0 + s, b0 + s2, a0 + s2])
+    mesh = _weld(np.asarray(verts), np.asarray(faces))
+    v, f = np.asarray(mesh.v), np.asarray(mesh.f)
+    vol = np.sum(np.einsum(
+        "ij,ij->i", v[f[:, 0]], np.cross(v[f[:, 1]], v[f[:, 2]])
+    ))
+    if vol < 0:
+        mesh = TriMesh.from_numpy(v, f[:, ::-1].copy())
+    return mesh
+
+
+def _subdivided(points, per_edge: int):
+    """Polyline with ``per_edge`` extra samples inside every segment."""
+    pts = np.asarray(points, np.float64)
+    out = []
+    for p, q in zip(pts[:-1], pts[1:]):
+        for t in np.linspace(0.0, 1.0, per_edge, endpoint=False):
+            out.append(p + t * (q - p))
+    out.append(pts[-1])
+    return np.asarray(out)
+
+
+def _rounded_square(side: float, radii, arc_pts: int = 6):
+    """CCW square outline with per-corner fillet radii (0 = sharp)."""
+    h = side / 2
+    corners = [(h, h), (-h, h), (-h, -h), (h, -h)]  # CCW
+    angles = [0.0, np.pi / 2, np.pi, 3 * np.pi / 2]
+    poly = []
+    for (cx, cy), a0, r in zip(corners, angles, radii):
+        if r <= 0:
+            poly.append([cx, cy])
+            continue
+        ctr = (cx - np.sign(cx) * r, cy - np.sign(cy) * r)
+        for t in np.linspace(a0, a0 + np.pi / 2, arc_pts):
+            poly.append([ctr[0] + r * np.cos(t), ctr[1] + r * np.sin(t)])
+    return poly
+
+
+def fillet_box(side: float = 1.0, depth: float = 0.8,
+               radii=(0.3, 0.0, 0.18, 0.0), n: int = 5) -> TriMesh:
+    """Extruded square with FILLETED vertical edges: cylindrical blends
+    meeting planes tangentially (fandisk's dominant feature), mixed
+    with sharp edges on the un-rounded corners."""
+    return extrude_polygon(
+        _rounded_square(side, radii), depth=depth, n_edge=n, n_depth=n,
+        kernel=(0.0, 0.0),
+    )
+
+
+def chamfer_box(side: float = 1.0, depth: float = 0.8,
+                cut: float = 0.22, n: int = 5) -> TriMesh:
+    """Extruded square with 45-degree CHAMFERED vertical edges: pairs
+    of shallow 135-degree creases flanking each removed 90-degree edge
+    — a crease class no other suite shape carries."""
+    h = side / 2
+    poly = [
+        [h, h - cut], [h - cut, h], [-(h - cut), h], [-h, h - cut],
+        [-h, -(h - cut)], [-(h - cut), -h], [h - cut, -h], [h, -(h - cut)],
+    ]
+    return extrude_polygon(
+        poly, depth=depth, n_edge=n, n_depth=n, kernel=(0.0, 0.0)
+    )
+
+
+def cone(radius: float = 0.55, height: float = 1.1,
+         segments: int = 28) -> TriMesh:
+    """Capped cone: curvature increasing toward the apex, plus the
+    circular base crease."""
+    prof = _subdivided(
+        [[0.0, 0.0], [radius, 0.0], [0.0, height]], per_edge=5
+    )
+    return revolve(prof, segments=segments)
+
+
+def spherecone(r_sphere: float = 0.5, segments: int = 28) -> TriMesh:
+    """Cone-sphere junction ("ice cream"): a downward cone meeting a
+    sphere along a circular crease, with the smooth spherical cap above
+    — the cone/sphere intersection feature family."""
+    zc = 0.35  # sphere center height; junction circle at the equator
+    apex = [0.0, -0.8]
+    arc = [
+        [r_sphere * np.cos(t), zc + r_sphere * np.sin(t)]
+        for t in np.linspace(0.0, np.pi / 2, 8)
+    ]
+    prof = np.concatenate([_subdivided([apex, arc[0]], per_edge=6), arc[1:]])
+    return revolve(prof, segments=segments)
+
+
+def cross(arm: float = 0.6, width: float = 0.4, depth: float = 0.5,
+          n: int = 5) -> TriMesh:
+    """Plus-sign extrusion: four CONCAVE right-angle corners between
+    arms (the interior-junction statistics of machine parts)."""
+    w = width / 2
+    poly = [
+        [arm, w], [w, w], [w, arm], [-w, arm], [-w, w], [-arm, w],
+        [-arm, -w], [-w, -w], [-w, -arm], [w, -arm], [w, -w], [arm, -w],
+    ]
+    return extrude_polygon(
+        poly, depth=depth, n_edge=n, n_depth=n, kernel=(0.0, 0.0)
+    )
+
+
 def cad_suite() -> dict:
     """The curated synthetic training mix: every entry is watertight and
     feature-rich; names are stable so datasets are reproducible."""
@@ -291,4 +434,11 @@ def cad_suite() -> dict:
         "syn_lbracket": lbracket(),
         "syn_icosphere": icosphere(subdiv=3),
         "syn_torus": torus(),
+        # Round-3 additions: fillet/chamfer blends and cone/sphere
+        # junctions — the crease families the goldens still miss most.
+        "syn_fillet_box": fillet_box(),
+        "syn_chamfer_box": chamfer_box(),
+        "syn_cone": cone(),
+        "syn_spherecone": spherecone(),
+        "syn_cross": cross(),
     }
