@@ -238,6 +238,7 @@ def build2(args):
 
 
 def evaluate(args):
+    from ngpd_tpu.config import GNFConfig
     from ngpd_tpu.learn.weights import load_dgcnn_npz
     from ngpd_tpu.meshproc.collector import load_mesh
     from ngpd_tpu.meshproc.gcn_denoiser import gcn_denoise_mesh
@@ -250,6 +251,11 @@ def evaluate(args):
     variables2 = (
         load_dgcnn_npz(CKPT / args.ckpt2) if args.ckpt2 else None
     )
+    gnf_cfg = GNFConfig(
+        normal_iterations=args.normal_iterations,
+        sigma_r=args.sigma_r,
+        vertex_iterations=args.vertex_iterations,
+    )
 
     cd = lambda a, b: float(pm.chamfer_distance(a, b).mean())  # noqa: E731
     rows = []
@@ -260,7 +266,8 @@ def evaluate(args):
         t0 = time.time()
         ours = gcn_denoise_mesh(
             noisy, model, variables, passes=args.gcns,
-            variables2=variables2, bucketed=args.bucketed,
+            gnf_cfg=gnf_cfg, variables2=variables2,
+            bucketed=args.bucketed,
         )
         dt = time.time() - t0
         row = {
@@ -299,6 +306,11 @@ def main():
     ap.add_argument("--bucketed", action="store_true",
                     help="shape-bucketed denoise (shared compiles)")
     ap.add_argument("--eval-out", default="golden_eval.json")
+    # GNF knobs for eval (the app's box_iterations + sigma_r slider);
+    # defaults mirror MeshNormalFiltering.cpp:29-40.
+    ap.add_argument("--normal-iterations", type=int, default=12)
+    ap.add_argument("--sigma-r", type=float, default=0.3)
+    ap.add_argument("--vertex-iterations", type=int, default=16)
     ap.add_argument("--cosine", action="store_true",
                     help="cosine-decay the learning rate over the run")
     args = ap.parse_args()
