@@ -26,10 +26,18 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import os
 import time
 from pathlib import Path
 
 import numpy as np
+
+if os.environ.get("NGPD_CPU"):
+    # Same dance as tests/conftest.py: the ambient axon sitecustomize
+    # pins jax_platforms, so the env var alone cannot force CPU.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 
