@@ -29,6 +29,11 @@ REPO = Path(__file__).resolve().parent.parent
 _DRIVER = """
 import sys
 import numpy as np
+import jax
+# The JAX_PLATFORMS env var alone is ignored: the ambient axon
+# sitecustomize pins jax_platforms, and with the TPU tunnel down the
+# subprocess would wedge on backend init (same dance as conftest.py).
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from ngpd_tpu.core.pipeline import denoise
 

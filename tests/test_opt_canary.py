@@ -41,6 +41,11 @@ def _surface_cloud():
 _SCRIPT = """
 import json
 import numpy as np
+import jax
+# The JAX_PLATFORMS env var alone is ignored: the ambient axon
+# sitecustomize pins jax_platforms, and with the TPU tunnel down the
+# subprocess would wedge on backend init (same dance as conftest.py).
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from ngpd_tpu.config import DenoiseConfig
 from ngpd_tpu.core.fused import fused_denoise
