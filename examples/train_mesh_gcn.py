@@ -260,6 +260,8 @@ def evaluate(args):
     cd = lambda a, b: float(pm.chamfer_distance(a, b).mean())  # noqa: E731
     rows = []
     for noisy_rel, clean_rel, ref_rel in GOLDENS:
+        if args.only and args.only not in noisy_rel:
+            continue
         noisy = load_mesh(REF / noisy_rel)
         clean = load_mesh(REF / clean_rel)
         ref_out = load_mesh(REF / ref_rel)
@@ -306,6 +308,8 @@ def main():
     ap.add_argument("--bucketed", action="store_true",
                     help="shape-bucketed denoise (shared compiles)")
     ap.add_argument("--eval-out", default="golden_eval.json")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on the golden mesh name (eval)")
     # GNF knobs for eval (the app's box_iterations + sigma_r slider);
     # defaults mirror MeshNormalFiltering.cpp:29-40.
     ap.add_argument("--normal-iterations", type=int, default=12)
