@@ -65,9 +65,44 @@ def make_cloud(n: int, seed: int = 0):
     return (pts + normals * noise).astype(np.float32), normals, clean
 
 
+def _tpu_backend_alive(timeout: float = 240.0) -> bool:
+    """Probe the axon TPU backend in a subprocess with a hard timeout.
+
+    When the remote TPU tunnel is down, backend init HANGS (it does not
+    error), which would wedge the bench forever — probe out-of-process
+    and fall back to the CPU smoke path instead."""
+    import subprocess
+
+    code = (
+        "import jax; d = jax.devices();"
+        "print('OK' if d and d[0].platform != 'cpu' else 'CPU')"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout,
+            env=dict(os.environ),
+        )
+        return proc.returncode == 0 and "OK" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ngpd_jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    if not _tpu_backend_alive():
+        # The sitecustomize pins jax_platforms, so the env var alone is
+        # not enough — override the config before first backend use.
+        print(
+            "bench: TPU backend unavailable (probe timed out) — "
+            "falling back to the CPU smoke path",
+            file=sys.stderr,
+        )
+        import jax as _jax
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        _jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
