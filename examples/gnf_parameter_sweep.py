@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--ni", default="8,12,16,20")
     ap.add_argument("--sr", default="0.25,0.3,0.35,0.45")
     ap.add_argument("--vi", default="16,24")
+    ap.add_argument("--radius-scale", type=float, default=2.0)
+    ap.add_argument("--sigma-s-scale", type=float, default=1.0)
     args = ap.parse_args()
 
     cache = Path(args.cache)
@@ -96,7 +98,9 @@ def main():
 
         for ni, sr, vi in itertools.product(nis, srs, vis):
             cfg = GNFConfig(
-                normal_iterations=ni, sigma_r=sr, vertex_iterations=vi
+                radius_scale=args.radius_scale,
+                sigma_s_scale=args.sigma_s_scale,
+                normal_iterations=ni, sigma_r=sr, vertex_iterations=vi,
             )
             out = guided_normal_filter(noisy, guidance, cfg)
             print(json.dumps({

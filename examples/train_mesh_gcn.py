@@ -252,6 +252,8 @@ def evaluate(args):
         load_dgcnn_npz(CKPT / args.ckpt2) if args.ckpt2 else None
     )
     gnf_cfg = GNFConfig(
+        radius_scale=args.radius_scale,
+        sigma_s_scale=args.sigma_s_scale,
         normal_iterations=args.normal_iterations,
         sigma_r=args.sigma_r,
         vertex_iterations=args.vertex_iterations,
@@ -315,6 +317,8 @@ def main():
     ap.add_argument("--normal-iterations", type=int, default=12)
     ap.add_argument("--sigma-r", type=float, default=0.3)
     ap.add_argument("--vertex-iterations", type=int, default=16)
+    ap.add_argument("--radius-scale", type=float, default=2.0)
+    ap.add_argument("--sigma-s-scale", type=float, default=1.0)
     ap.add_argument("--cosine", action="store_true",
                     help="cosine-decay the learning rate over the run")
     args = ap.parse_args()

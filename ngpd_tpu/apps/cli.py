@@ -199,6 +199,8 @@ def cmd_denoise_mesh(args):
         raise SystemExit("denoise-mesh needs a triangle mesh input")
     mesh = TriMesh.from_numpy(data.v, data.fv)
     cfg = GNFConfig(
+        radius_scale=args.radius_scale,
+        sigma_s_scale=args.sigma_s_scale,
         normal_iterations=args.normal_iterations,
         vertex_iterations=args.vertex_iterations,
         sigma_r=args.sigma_r,
@@ -436,6 +438,12 @@ def main(argv=None):
                     help="guidance-range bandwidth (the app's sigma_r "
                     "slider, MeshNormalFiltering.cpp:37)")
     dm.add_argument("--vertex-iterations", type=int, default=16)
+    dm.add_argument("--radius-scale", type=float, default=2.0,
+                    help="face-neighborhood radius multiple "
+                    "(MeshNormalFiltering.cpp:31; widen for heavy noise)")
+    dm.add_argument("--sigma-s-scale", type=float, default=1.0,
+                    help="spatial bandwidth multiple of the mean "
+                    "centroid spacing (MeshNormalFiltering.cpp:33)")
     dm.add_argument("--error-map", action="store_true")
     dm.add_argument(
         "--html", default=None, metavar="FILE",
