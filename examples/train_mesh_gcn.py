@@ -104,6 +104,9 @@ def build(args):
             levels=NOISE_LEVELS,
             max_patches_per_mesh=PATCHES_PER_MESH,
             seed=100 + i,
+            # Crease-face oversampling (docs/GOLDEN.md error anatomy):
+            # NGPD_CREASE_BOOST=2 weights crease-adjacent patches 3x.
+            crease_boost=float(os.environ.get("NGPD_CREASE_BOOST", 0)),
         )
         print(
             f"[{i+1}/{len(clean_paths)}] {clean.stem}: {len(shards)} shards "

@@ -176,6 +176,27 @@ def save_patch_archive(
     return paths
 
 
+def crease_face_mask(mesh, angle_deg: float = 30.0) -> np.ndarray:
+    """Faces adjacent to a dihedral sharper than ``angle_deg`` — the
+    crease set whose normals dominate the golden-mesh residual
+    (docs/GOLDEN.md error anatomy)."""
+    f = np.asarray(mesh.f)
+    n, _, _ = mesh.face_data()
+    n = np.asarray(n)
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    e.sort(axis=1)
+    owner = np.tile(np.arange(len(f)), 3)
+    order = np.lexsort((e[:, 1], e[:, 0]))
+    es, ow = e[order], owner[order]
+    pair = np.all(es[:-1] == es[1:], axis=1)
+    a, b = ow[:-1][pair], ow[1:][pair]
+    sharp = np.sum(n[a] * n[b], axis=1) < np.cos(np.radians(angle_deg))
+    mask = np.zeros(len(f), bool)
+    mask[a[sharp]] = True
+    mask[b[sharp]] = True
+    return mask
+
+
 def collect_patch_shard(
     noisy_path: PathLike,
     out_npz: PathLike,
@@ -184,17 +205,32 @@ def collect_patch_shard(
     cfg: PatchConfig = PatchConfig(),
     seed: int = 0,
     bucketed: bool = False,
+    crease_boost: float = 0.0,
 ) -> str:
     """The fast archive: every (subsampled) patch of one mesh in a
     single ``.npz`` shard with x (B, 20, P) float32, y (B, 3), rot
-    (B, 3, 3) — what the DGCNN trainer streams."""
+    (B, 3, 3) — what the DGCNN trainer streams.
+
+    ``crease_boost`` > 0 oversamples patches centered on CLEAN-mesh
+    crease faces when ``max_patches`` binds: a crease face is weighted
+    ``1 + crease_boost`` relative to a flat one (the FileDataset
+    feature-balancing idea, FileDataset.py:173-182, applied to the mesh
+    track's actual failure mode)."""
     batch = collect_patches(noisy_path, gt_path, cfg, bucketed=bucketed)
     nf = batch.inputs.shape[0]
     idx = np.arange(nf)
     if 0 <= max_patches < nf:
-        idx = np.random.default_rng(seed).choice(
-            nf, size=max_patches, replace=False
-        )
+        rng = np.random.default_rng(seed)
+        if crease_boost > 0.0 and gt_path is not None:
+            gt_mesh = load_mesh(gt_path)
+            w = np.ones(nf)
+            mask = crease_face_mask(gt_mesh)[:nf]
+            w[: len(mask)][mask] += crease_boost
+            idx = rng.choice(
+                nf, size=max_patches, replace=False, p=w / w.sum()
+            )
+        else:
+            idx = rng.choice(nf, size=max_patches, replace=False)
         idx.sort()
     out_npz = Path(out_npz)
     out_npz.parent.mkdir(parents=True, exist_ok=True)
@@ -219,6 +255,7 @@ def build_mesh_dataset(
     cfg: PatchConfig = PatchConfig(),
     seed: int = 0,
     noisy_meshes: Optional[Sequence[PathLike]] = None,
+    crease_boost: float = 0.0,
 ) -> list:
     """End-to-end dataset build: noise generation + per-mesh shards.
 
@@ -248,6 +285,7 @@ def build_mesh_dataset(
                 max_patches=max_patches_per_mesh,
                 cfg=cfg,
                 seed=seed + 1000 + s,
+                crease_boost=crease_boost,
             )
         )
     return shards

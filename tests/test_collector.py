@@ -131,3 +131,31 @@ def test_shard_and_dataset_build(clean_obj, tmp_path):
     for s in shards:
         d = np.load(s)
         assert d["x"].shape[0] == 10
+
+
+def test_crease_mask_and_boosted_sampling(tmp_path):
+    """crease_face_mask flags exactly the faces at a sharp dihedral, and
+    crease_boost oversamples them when max_patches binds."""
+    from ngpd_tpu.meshproc.collector import crease_face_mask
+    from ngpd_tpu.meshproc.synthetic import box, icosphere
+
+    # A box is all creases at its 12 edges; a subdivided sphere has none.
+    assert crease_face_mask(icosphere(subdiv=2)).sum() == 0
+    bx = box(n=6)
+    mask = crease_face_mask(bx)
+    assert 0 < mask.sum() < bx.f.shape[0]  # edges flagged, interiors not
+
+    clean_p = tmp_path / "box.obj"
+    save_obj(str(clean_p), np.asarray(bx.v), faces=np.asarray(bx.f))
+    noisy_p = generate_noisy_meshes(clean_p, levels=[0.2])[0]
+
+    def crease_fraction(boost):
+        shard = collect_patch_shard(
+            noisy_p, tmp_path / f"b{boost}.npz", gt_path=clean_p,
+            max_patches=80, cfg=CFG, seed=0, crease_boost=boost,
+        )
+        idx = np.load(shard)["face_index"]
+        return mask[idx].mean()
+
+    base, boosted = crease_fraction(0.0), crease_fraction(4.0)
+    assert boosted > base * 1.5, (base, boosted)
