@@ -65,32 +65,67 @@ def make_cloud(n: int, seed: int = 0):
     return (pts + normals * noise).astype(np.float32), normals, clean
 
 
-def _tpu_backend_alive(timeout: float = 240.0) -> bool:
+def _tpu_backend_alive(attempts: int = 3) -> bool:
     """Probe the axon TPU backend in a subprocess with a hard timeout.
 
     When the remote TPU tunnel is down, backend init HANGS (it does not
     error), which would wedge the bench forever — probe out-of-process
-    and fall back to the CPU smoke path instead."""
+    and fall back to the CPU smoke path instead. Retries with growing
+    timeouts: a transient tunnel blip should not demote a round's perf
+    record to a CPU smoke number."""
     import subprocess
 
     code = (
         "import jax; d = jax.devices();"
         "print('OK' if d and d[0].platform != 'cpu' else 'CPU')"
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=timeout,
-            env=dict(os.environ),
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True,
+                timeout=180.0 + 120.0 * i,
+                env=dict(os.environ),
+            )
+            if proc.returncode == 0 and "OK" in proc.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"bench: TPU probe attempt {i + 1}/{attempts} failed",
+            file=sys.stderr,
         )
-        return proc.returncode == 0 and "OK" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
+        if i + 1 < attempts:
+            time.sleep(30)
+    return False
+
+
+def _last_known_good_tpu():
+    """Most recent committed TPU result from BENCH_r*.json, so a CPU
+    fallback line is self-describing: a reader of the JSON alone sees
+    which round's TPU number still stands as the perf record."""
+    import glob
+    import re
+
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            rec = json.load(open(p))
+            parsed = rec.get("parsed") or {}
+            if "tpu" in parsed.get("metric", ""):
+                m = re.search(r"BENCH_r(\d+)", p)
+                best = {"round": int(m.group(1)) if m else None, **parsed}
+        except Exception:
+            continue
+    return best
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ngpd_jax_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    from ngpd_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    backend = "tpu"
     if not _tpu_backend_alive():
         # The sitecustomize pins jax_platforms, so the env var alone is
         # not enough — override the config before first backend use.
@@ -103,6 +138,7 @@ def main():
 
         os.environ["JAX_PLATFORMS"] = "cpu"
         _jax.config.update("jax_platforms", "cpu")
+        backend = "cpu-fallback"
     import jax
     import jax.numpy as jnp
 
@@ -181,20 +217,24 @@ def main():
     # green in BENCH_r*.json.
     GATE_RATIO = 0.25
     gate = "pass" if ratio <= GATE_RATIO else "fail"
-    print(
-        json.dumps(
-            {
-                "metric": f"denoise throughput ({n} pts, k={k}, {iters} iters, {platform})",
-                "value": round(value, 1),
-                "unit": "point-iterations/s",
-                "vs_baseline": round(value / target, 4),
-                "quality_gate": gate,
-                "quality_cd_ratio": round(ratio, 4),
-                "quality_cd_noisy": round(cd_noisy, 8),
-                "quality_cd_denoised": round(cd_out, 8),
-            }
-        )
-    )
+    line = {
+        "metric": f"denoise throughput ({n} pts, k={k}, {iters} iters, {platform})",
+        "value": round(value, 1),
+        "unit": "point-iterations/s",
+        "vs_baseline": round(value / target, 4),
+        "backend": backend,
+        "quality_gate": gate,
+        "quality_cd_ratio": round(ratio, 4),
+        "quality_cd_noisy": round(cd_noisy, 8),
+        "quality_cd_denoised": round(cd_out, 8),
+    }
+    if backend == "cpu-fallback":
+        lkg = _last_known_good_tpu()
+        if lkg:
+            # The CPU number is a smoke check, not the perf record —
+            # carry the standing TPU record alongside it.
+            line["last_known_good_tpu"] = lkg
+    print(json.dumps(line))
     if gate == "fail":
         # A regression in the fast engine shows up here long before it
         # shows up in the throughput number.

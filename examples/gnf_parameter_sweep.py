@@ -10,10 +10,11 @@ expensive part), caches them, then scores every (normal_iterations,
 sigma_r, vertex_iterations) combination by mean angular error and
 chamfer distance against the clean mesh.
 
-Round-3 result (docs/GOLDEN.md): sigma_r 0.25 with 8 normal iterations
-is near-optimal on every golden simultaneously — single-pass Ea drops
-fandisk 9.16->7.0, trim-star 8.65->5.6, fertility 6.22->4.5 vs the
-reference-default filter under the same checkpoint.
+Recorded operating point (docs/GOLDEN.md is the source of truth): the
+tuned GLOBAL setting is normal_iterations=16, sigma_r=0.12,
+vertex_iterations=16 — single-pass Ea fandisk 5.89, trim-star 4.92
+(beats the reference's 5.32), fertility 4.63, nicolo 5.53 under the
+shipped checkpoint.
 
 Usage:
   PYTHONPATH=. python examples/gnf_parameter_sweep.py \

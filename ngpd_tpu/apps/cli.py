@@ -22,13 +22,6 @@ from pathlib import Path
 
 import numpy as np
 
-# Persistent XLA compilation cache BEFORE jax initializes: flagship CLI
-# runs are compile-bound (minutes of XLA work per new mesh shape,
-# re-paid every invocation without this); with the cache a repeat run on
-# the same mesh skips compilation entirely. Mirrors bench.py:69-70.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ngpd_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 
 def _load_cloud(path):
     from ..io.obj import load_obj
@@ -348,6 +341,12 @@ def cmd_add_noise(args):
 
 
 def main(argv=None):
+    # Persistent XLA compilation cache BEFORE the first backend use:
+    # CLI runs are compile-bound on new mesh shapes. Done here, not at
+    # import time, so merely importing this module mutates nothing.
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="ngpd_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -123,19 +123,23 @@ def make_dgcnn_eval_step(model: DGCNN):
     return step
 
 
-def make_dgcnn_scan_steps(model, tx, data: dict, alpha=0.0, beta=1.0):
+def make_dgcnn_scan_steps(model, tx, alpha=0.0, beta=1.0):
     """(train, eval) supersteps scanning many minibatches per dispatch.
 
     Per-step Python dispatch through a remote-device tunnel costs
     ~100-300 ms of round-trip latency — at ~3k steps/epoch that is the
     whole epoch. With the split staged on device (``data``: x (N,20,P),
-    y (N,3)), a jitted ``lax.scan`` over an (S, B) index block runs S
-    optimizer steps per dispatch; the gathers happen on device.
+    y (N,3)) and passed as an explicit argument (NOT a closure — a
+    captured dict would be embedded as a compiled-program constant), a
+    jitted ``lax.scan`` over an (S, B) index block runs S optimizer
+    steps per dispatch; the gathers happen on device. Wired into
+    :func:`fit_dgcnn` via ``scan_steps``; per-step parity is pinned by
+    tests/test_train_dgcnn.py.
     """
     step = make_dgcnn_train_step(model, tx, alpha, beta)
     estep = make_dgcnn_eval_step(model)
 
-    def train_block(state: TrainState, sel_block: jnp.ndarray):
+    def train_block(state: TrainState, data: dict, sel_block: jnp.ndarray):
         def body(st, sel):
             batch = {k: jnp.take(v, sel, axis=0) for k, v in data.items()}
             return step(st, batch)
@@ -143,7 +147,7 @@ def make_dgcnn_scan_steps(model, tx, data: dict, alpha=0.0, beta=1.0):
         state, ms = jax.lax.scan(body, state, sel_block)
         return state, {k: jnp.mean(v) for k, v in ms.items()}
 
-    def eval_block(state: TrainState, sel_block: jnp.ndarray):
+    def eval_block(state: TrainState, data: dict, sel_block: jnp.ndarray):
         def body(carry, sel):
             batch = {k: jnp.take(v, sel, axis=0) for k, v in data.items()}
             return carry, estep(state, batch)
@@ -211,6 +215,34 @@ class ShardStore:
             else:
                 yield {"x": data["x"][sel], "y": data["y"][sel]}
 
+    def staged(self, split: str) -> dict:
+        """Device-resident split for the scan-superstep path (the whole
+        split must live on device for on-device gathers)."""
+        dev = self._staged(split)
+        if dev is False:
+            raise ValueError(
+                f"{split} split exceeds NGPD_STAGE_BYTES "
+                f"({self.DEVICE_STAGE_BYTES}); the scan path needs the "
+                "split staged on device — raise the budget or use the "
+                "per-step path"
+            )
+        return dev
+
+    def sel_blocks(
+        self, split: str, batch_size: int, scan_steps: int,
+        shuffle: bool = True,
+    ) -> Iterator[np.ndarray]:
+        """(S, B) index blocks covering the split's full batches: the
+        first blocks carry ``scan_steps`` batches each; a shorter tail
+        block (one extra compile shape) keeps coverage identical to
+        :meth:`batches`."""
+        n = len(getattr(self, split)["x"])
+        order = self._rng.permutation(n) if shuffle else np.arange(n)
+        n_full = n // batch_size
+        flat = order[: n_full * batch_size].reshape(n_full, batch_size)
+        for s in range(0, n_full, scan_steps):
+            yield flat[s : s + scan_steps]
+
 
 def _batch_sharding(mesh: Optional[Mesh]):
     if mesh is None:
@@ -236,14 +268,30 @@ def fit_dgcnn(
     mesh: Optional[Mesh] = None,
     train_step=None,
     eval_step=None,
+    scan_steps: int = 0,
 ) -> TrainState:
     """Epoch loop (train.py:94-168): per-epoch validation, top-k
     checkpoints, early stopping. With ``mesh``, state is replicated and
     every batch is dp-sharded across the mesh before the jitted step.
     Pass prebuilt jitted ``train_step``/``eval_step`` to reuse their
-    compile cache across several fits in one process."""
+    compile cache across several fits in one process.
+
+    ``scan_steps > 0`` switches to the lax.scan superstep path (S
+    optimizer steps per dispatch, splits staged on device) — the remote
+    -tunnel latency amortization of :func:`make_dgcnn_scan_steps`;
+    single-device only (per-batch parity: tests/test_train_dgcnn.py)."""
     from .checkpoints import CheckpointManager
 
+    if scan_steps:
+        if mesh is not None:
+            raise ValueError(
+                "scan_steps amortizes per-step dispatch on ONE device; "
+                "with a mesh, use the dp-sharded per-step path"
+            )
+        train_block, eval_block = make_dgcnn_scan_steps(
+            model, tx, alpha, beta
+        )
+        staged = {s: store.staged(s) for s in ("train", "val")}
     if train_step is None:
         train_step = jax.jit(make_dgcnn_train_step(model, tx, alpha, beta))
     if eval_step is None:
@@ -270,13 +318,24 @@ def fit_dgcnn(
         # On-device metric accumulation: per-step float() pulls are
         # blocking round-trips that dominate on remote devices.
         acc, n_b, last_beat = None, 0, time.time()
-        for batch in store.batches("train", batch_size):
-            state, metrics = train_step(state, put(batch))
-            acc = metrics if acc is None else _acc_metrics(acc, metrics)
-            n_b += 1
-            if time.time() - last_beat > 120:
-                print(f"epoch {epoch}: step {n_b}...", flush=True)
-                last_beat = time.time()
+        if scan_steps:
+            for blk in store.sel_blocks("train", batch_size, scan_steps):
+                state, metrics = train_block(
+                    state, staged["train"], jnp.asarray(blk)
+                )
+                # Block metrics are means over len(blk) steps — weight
+                # so uneven tail blocks do not skew the epoch mean.
+                metrics = {k: v * len(blk) for k, v in metrics.items()}
+                acc = metrics if acc is None else _acc_metrics(acc, metrics)
+                n_b += len(blk)
+        else:
+            for batch in store.batches("train", batch_size):
+                state, metrics = train_step(state, put(batch))
+                acc = metrics if acc is None else _acc_metrics(acc, metrics)
+                n_b += 1
+                if time.time() - last_beat > 120:
+                    print(f"epoch {epoch}: step {n_b}...", flush=True)
+                    last_beat = time.time()
         if acc is None:
             raise ValueError(
                 f"no full train batches: split has {len(store.train['x'])} "
@@ -287,10 +346,19 @@ def fit_dgcnn(
         logger.log(epoch, "train", train_metrics)
 
         acc, n_b = None, 0
-        for batch in store.batches("val", batch_size, shuffle=False):
-            metrics = eval_step(state, put(batch))
-            acc = metrics if acc is None else _acc_metrics(acc, metrics)
-            n_b += 1
+        if scan_steps:
+            for blk in store.sel_blocks(
+                "val", batch_size, scan_steps, shuffle=False
+            ):
+                metrics = eval_block(state, staged["val"], jnp.asarray(blk))
+                metrics = {k: v * len(blk) for k, v in metrics.items()}
+                acc = metrics if acc is None else _acc_metrics(acc, metrics)
+                n_b += len(blk)
+        else:
+            for batch in store.batches("val", batch_size, shuffle=False):
+                metrics = eval_step(state, put(batch))
+                acc = metrics if acc is None else _acc_metrics(acc, metrics)
+                n_b += 1
         val_metrics = (
             {k: float(v) / n_b for k, v in acc.items()} if acc else {}
         )

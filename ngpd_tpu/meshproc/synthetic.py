@@ -291,10 +291,12 @@ def revolve(profile, segments: int = 28) -> TriMesh:
     signed-volume test, so the profile may be authored in either
     direction."""
     prof = np.asarray(profile, np.float64)
-    assert abs(prof[0, 0]) < 1e-12 and abs(prof[-1, 0]) < 1e-12, (
-        "profile must start and end on the axis (r == 0)"
-    )
-    assert (prof[1:-1, 0] > 1e-9).all(), "interior profile points need r > 0"
+    # ValueError (not assert): a bad profile silently yields a
+    # non-watertight mesh, and asserts vanish under ``python -O``.
+    if not (abs(prof[0, 0]) < 1e-12 and abs(prof[-1, 0]) < 1e-12):
+        raise ValueError("profile must start and end on the axis (r == 0)")
+    if not (prof[1:-1, 0] > 1e-9).all():
+        raise ValueError("interior profile points need r > 0")
     th = np.linspace(0, 2 * np.pi, segments, endpoint=False)
     cs, sn = np.cos(th), np.sin(th)
 

@@ -48,7 +48,11 @@ def test_fandisk_1_row_reproduces():
         max_iterations=12,
     )
     assert row["n_points"] == EXPECTED["n_points"]
-    assert row["iterations"] == EXPECTED["iterations"]
+    # The recorded argmin is 7, but the until-minimum selection sits on
+    # a shallow error valley: reduction-order drift across XLA versions
+    # can move it by +-1 without the CDs leaving the 1% band — pin a
+    # range, not the exact integer (advisor round 3).
+    assert EXPECTED["iterations"] - 1 <= row["iterations"] <= EXPECTED["iterations"] + 1
     for key in ("CD_noisy", "CD_denoised", "sCD_noisy", "sCD_denoised"):
         assert row[key] == pytest.approx(EXPECTED[key], rel=0.01), key
     # The driver must not have made things worse than the noisy input.

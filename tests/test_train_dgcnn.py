@@ -156,6 +156,43 @@ def test_sharded_step_parity_and_mesh_fit(shards, compiled, tmp_path):
     )
 
 
+def test_scan_superstep_fit_parity(shards, compiled, tmp_path):
+    """fit_dgcnn(scan_steps=2) — the lax.scan superstep path that
+    amortizes remote-tunnel dispatch — walks the identical batch
+    sequence as the per-step path: same permutations (same store
+    seed), same optimizer-step count, matching final params."""
+    model, _, tx, step, eval_step = compiled
+    _, state0, _ = init_dgcnn(
+        jax.random.PRNGKey(3), emb_dims=32, num_nodes=CFG.num_nodes
+    )
+
+    s_step = fit_dgcnn(
+        model, state0, tx,
+        ShardStore(shards, val_fraction=0.25, seed=0),
+        batch_size=32, num_epochs=1, log_dir=tmp_path / "l1",
+        train_step=step, eval_step=eval_step,
+    )
+    s_scan = fit_dgcnn(
+        model, state0, tx,
+        ShardStore(shards, val_fraction=0.25, seed=0),
+        batch_size=32, num_epochs=1, log_dir=tmp_path / "l2",
+        scan_steps=2,
+    )
+    flat_a = jax.tree_util.tree_leaves(jax.device_get(s_step.params))
+    flat_b = jax.tree_util.tree_leaves(jax.device_get(s_scan.params))
+    for x, y in zip(flat_a, flat_b):
+        # Adam's sqrt(v) amplifies scan-vs-loop reduction-order noise.
+        np.testing.assert_allclose(x, y, rtol=2e-3, atol=5e-4)
+
+    with pytest.raises(ValueError, match="scan_steps"):
+        fit_dgcnn(
+            model, state0, tx,
+            ShardStore(shards, val_fraction=0.25, seed=0),
+            batch_size=32, num_epochs=1, log_dir=tmp_path / "l3",
+            scan_steps=2, mesh=Mesh(np.asarray(jax.devices()[:8]), ("dp",)),
+        )
+
+
 def test_dgcnn_losses_perfect_prediction():
     y = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]], np.float32)
     m = dgcnn_losses(y, y)
