@@ -51,23 +51,39 @@ def predict_face_normals(
     variables,
     patch_cfg: PatchConfig = PatchConfig(),
     batch_size: int = 720,
+    pmesh=None,
+    axis: str = "points",
 ) -> jnp.ndarray:
     """Per-face world-frame normals from the patch network.
 
     batch_size=720 matches the app's inference batching
-    (MeshViewer.cpp:806)."""
+    (MeshViewer.cpp:806). With ``pmesh`` (a jax.sharding.Mesh), the
+    patch batch is dp-sharded over ``axis`` instead and runs as ONE
+    SPMD forward — the app's 720-face loop is a CUDA-memory artifact;
+    per-face inference is embarrassingly parallel, so on a TPU mesh
+    each chip takes nf/d faces (parity vs the loop is checked by
+    __graft_entry__.dryrun_multichip and tests/test_meshproc.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     patches = extract_mesh_patches(mesh, cfg=patch_cfg)
     nf = patches.inputs.shape[0]
 
-    outs = []
-    for s in range(0, nf, batch_size):
-        e = min(s + batch_size, nf)
-        chunk = patches.inputs[s:e]
-        pad = batch_size - (e - s)
-        if pad:
-            chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0)))
-        outs.append(_fwd(model, variables, chunk)[: e - s])
-    pred = jnp.concatenate(outs, axis=0)
+    if pmesh is not None:
+        d = pmesh.shape[axis]
+        pad = -nf % (d * 8)  # sublane-friendly per-shard batch
+        x = jnp.pad(patches.inputs, ((0, pad), (0, 0), (0, 0)))
+        x = jax.device_put(x, NamedSharding(pmesh, P(axis, None, None)))
+        pred = _fwd(model, variables, x)[:nf]
+    else:
+        outs = []
+        for s in range(0, nf, batch_size):
+            e = min(s + batch_size, nf)
+            chunk = patches.inputs[s:e]
+            pad = batch_size - (e - s)
+            if pad:
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+            outs.append(_fwd(model, variables, chunk)[: e - s])
+        pred = jnp.concatenate(outs, axis=0)
     pred = pred / jnp.maximum(
         jnp.linalg.norm(pred, axis=1, keepdims=True), 1e-12
     )
@@ -84,6 +100,7 @@ def gcn_denoise_mesh(
     batch_size: int = 720,
     variables2=None,
     bucketed: bool = False,
+    pmesh=None,
 ) -> TriMesh:
     """GCN-predicted normals -> guided filtering, optionally iterated
     with rebuilt neighborhoods (the app's box_gcns knob,
@@ -93,6 +110,9 @@ def gcn_denoise_mesh(
     cascade's second-stage network trained on first-pass outputs
     (script_model_2.pt, MeshViewer.cpp:787-798). Defaults to
     ``variables`` (single-model iteration).
+
+    ``pmesh``: dp-shard the patch inference over a device mesh (see
+    predict_face_normals) — the flagship pipeline's scale-out knob.
     """
     face_mask: Optional[jnp.ndarray] = None
     if bucketed:
@@ -104,7 +124,7 @@ def gcn_denoise_mesh(
     for p in range(max(1, passes)):
         pass_vars = variables if p == 0 or variables2 is None else variables2
         guidance = predict_face_normals(
-            out, model, pass_vars, patch_cfg, batch_size
+            out, model, pass_vars, patch_cfg, batch_size, pmesh=pmesh
         )
         if face_mask is not None:
             # Sentinel faces guide with their own normals; their

@@ -113,3 +113,32 @@ def test_error_map_colors():
     colors = mm.error_map_colors(gt, gt)
     # Zero error -> pure blue.
     np.testing.assert_allclose(colors, [[0.0, 0.0, 1.0]] * len(v), atol=1e-6)
+
+
+def test_predict_face_normals_sharded_parity():
+    """pmesh= dp-shards the patch inference over the device mesh; the
+    result matches the single-device 720-face loop (the face batch is
+    embarrassingly parallel — MeshViewer.cpp:806's loop is a CUDA
+    memory artifact, not an algorithmic one)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ngpd_tpu.config import PatchConfig
+    from ngpd_tpu.learn.train_dgcnn import init_dgcnn
+    from ngpd_tpu.meshproc.gcn_denoiser import predict_face_normals
+    from ngpd_tpu.meshproc.synthetic import icosphere
+    from ngpd_tpu.parallel.mesh import make_mesh
+
+    pcfg = PatchConfig(num_nodes=16)
+    model, state, _ = init_dgcnn(
+        jax.random.PRNGKey(0), emb_dims=32, num_nodes=pcfg.num_nodes
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ico = icosphere(subdiv=2)
+    want = predict_face_normals(ico, model, variables, pcfg, batch_size=64)
+    got = predict_face_normals(
+        ico, model, variables, pcfg, pmesh=make_mesh(8)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
