@@ -128,7 +128,8 @@ def train(args):
 
     shards = sorted(str(p) for p in SHARDS.glob("*.npz"))
     assert shards, "run the build phase first"
-    store = ShardStore(shards, val_fraction=0.08, seed=0)
+    cap = int(os.environ.get("NGPD_TRAIN_CAP", 0)) or None
+    store = ShardStore(shards, val_fraction=0.08, seed=0, max_patches=cap)
     print(
         f"{len(store.train['x'])} train / {len(store.val['x'])} val patches "
         f"on {jax.devices()[0].platform}"

@@ -168,7 +168,7 @@ class ShardStore:
     are device-resident slices, not host-side collation."""
 
     def __init__(self, shard_paths: Sequence[str], val_fraction: float = 0.1,
-                 seed: int = 0):
+                 seed: int = 0, max_patches: Optional[int] = None):
         xs, ys = [], []
         for p in shard_paths:
             d = np.load(p)
@@ -179,6 +179,10 @@ class ShardStore:
         rng = np.random.default_rng(seed)
         perm = rng.permutation(len(x))
         x, y = x[perm], y[perm]
+        if max_patches is not None and len(x) > max_patches:
+            # Uniform subsample (post-shuffle prefix): budget-bound
+            # fine-tunes don't need the full corpus per epoch.
+            x, y = x[:max_patches], y[:max_patches]
         n_val = int(len(x) * val_fraction)
         self.val = {"x": x[:n_val], "y": y[:n_val]}
         self.train = {"x": x[n_val:], "y": y[n_val:]}

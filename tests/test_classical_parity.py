@@ -16,6 +16,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # tier-2: heavy engine/e2e (pytest.ini)
+
 REPO = Path(__file__).resolve().parent.parent
 REF = Path("/root/reference/common-3d-test-models-master")
 

@@ -36,6 +36,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from ngpd_tpu.core.pipeline import denoise
+import pytest
+
+pytestmark = pytest.mark.slow  # tier-2: heavy engine/e2e (pytest.ini)
 
 data = np.load(sys.argv[1])
 out, out_n, _ = denoise(

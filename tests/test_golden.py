@@ -16,9 +16,12 @@ REF_MODELS = Path("/root/reference/models")
 REF_NOISE = Path("/root/reference/common-3d-test-models-master/Generated_Noise")
 REF_CLEAN = Path("/root/reference/common-3d-test-models-master")
 
-pytestmark = pytest.mark.skipif(
-    not REF_MODELS.exists(), reason="reference assets not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not REF_MODELS.exists(), reason="reference assets not mounted"
+    ),
+    pytest.mark.slow,  # tier-2: full denoise runs on real meshes
+]
 
 
 def _estimated(points):

@@ -50,6 +50,9 @@ import jax.numpy as jnp
 from ngpd_tpu.config import DenoiseConfig
 from ngpd_tpu.core.fused import fused_denoise
 from tests.test_opt_canary import _surface_cloud
+import pytest
+
+pytestmark = pytest.mark.slow  # tier-2: heavy engine/e2e (pytest.ini)
 
 pts, nrm = _surface_cloud()
 out, _, _ = fused_denoise(

@@ -3,12 +3,15 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ngpd_tpu.core.fused import fused_denoise
 from ngpd_tpu.core.pallas_fused import pallas_denoise
 from ngpd_tpu.ops.fastmath import acos_poly
 
 from fixtures import sphere_cloud
+
+pytestmark = pytest.mark.slow  # tier-2: heavy engine/e2e (pytest.ini)
 
 
 def test_acos_poly_matches_arccos():

@@ -14,6 +14,8 @@ from ngpd_tpu.io.obj import save_obj
 
 from fixtures import plane_grid, sphere_cloud
 
+pytestmark = pytest.mark.slow  # tier-2: heavy engine/e2e (pytest.ini)
+
 
 def test_radius_neighborhood():
     pts, _ = plane_grid(10, spacing=1.0)

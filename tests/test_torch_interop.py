@@ -27,6 +27,8 @@ from ngpd_tpu.learn.torch_interop import (  # noqa: E402
 )
 from ngpd_tpu.models.dgcnn import DGCNN  # noqa: E402
 
+pytestmark = pytest.mark.slow  # tier-2: heavy engine/e2e (pytest.ini)
+
 REF_GCN = "/root/reference/DenoisingGCN/GCNModel.py"
 
 

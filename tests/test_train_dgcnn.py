@@ -22,6 +22,8 @@ from ngpd_tpu.learn.train_dgcnn import (
 from ngpd_tpu.learn.weights import load_dgcnn_npz, save_variables_npz
 from ngpd_tpu.meshproc.collector import build_mesh_dataset
 
+pytestmark = pytest.mark.slow  # tier-2: heavy engine/e2e (pytest.ini)
+
 CFG = PatchConfig(num_nodes=16)
 
 

@@ -16,6 +16,9 @@ from ngpd_tpu.meshproc.trimesh import TriMesh
 from ngpd_tpu.models.dgcnn import DGCNN
 
 from fixtures import OCTA_F, OCTA_V, sphere_cloud
+import pytest
+
+pytestmark = pytest.mark.slow  # tier-2: heavy engine/e2e (pytest.ini)
 
 TINY_MODEL = ModelConfig(
     hidden=(8, 8, 16, 16, 16, 16, 16, 8, 8), patch_size=24, patch_k=6
