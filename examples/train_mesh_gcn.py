@@ -180,7 +180,13 @@ def build2(args):
     patches from those *denoised* meshes with GT normals from the clean
     twins — the training distribution of the reference's second network
     (script_model_2.pt, MeshViewer.cpp:787-798, 1073-1336): near-clean
-    geometry with residual feature blur."""
+    geometry with residual feature blur.
+
+    The stage-1 denoise here uses the SAME GNF knobs as deployment
+    (pass the tuned operating point via --normal-iterations/--sigma-r/
+    --vertex-iterations) so stage-2 trains on the distribution it will
+    actually see."""
+    from ngpd_tpu.config import GNFConfig
     from ngpd_tpu.io.obj import save_obj
     from ngpd_tpu.learn.weights import load_dgcnn_npz
     from ngpd_tpu.meshproc.collector import (
@@ -193,6 +199,13 @@ def build2(args):
 
     model = DGCNN()
     variables = load_dgcnn_npz(CKPT / args.ckpt)
+    gnf_cfg = GNFConfig(
+        radius_scale=args.radius_scale,
+        sigma_s_scale=args.sigma_s_scale,
+        normal_iterations=args.normal_iterations,
+        sigma_r=args.sigma_r,
+        vertex_iterations=args.vertex_iterations,
+    )
     noisy_dir = WORK / "clean" / "Noise"
     den_dir = WORK / "denoised1"
     den_dir.mkdir(parents=True, exist_ok=True)
@@ -220,7 +233,8 @@ def build2(args):
         if not den_p.exists():
             mesh = load_mesh(noisy_p)
             den = gcn_denoise_mesh(
-                mesh, model, variables, passes=1, bucketed=True
+                mesh, model, variables, passes=1, gnf_cfg=gnf_cfg,
+                bucketed=True,
             )
             save_obj(
                 str(den_p), np.asarray(den.v), faces=np.asarray(den.f)
