@@ -1480,7 +1480,7 @@ def _xla_update_stage(
     jax.jit,
     static_argnames=(
         "cfg", "strategy", "iterations", "tile", "window",
-        "threshold_method", "interpret", "sub",
+        "threshold_method", "interpret", "sub", "lagged_nvt1",
     ),
 )
 def pallas_denoise_hybrid(
@@ -1496,6 +1496,7 @@ def pallas_denoise_hybrid(
     threshold_slack: float = 1.05,
     interpret: bool = False,
     sub: int = 8,
+    lagged_nvt1: bool = False,
 ):
     """Hybrid engine: Pallas window reductions + XLA per-point math.
 
@@ -1503,6 +1504,16 @@ def pallas_denoise_hybrid(
     fastest configuration for large clouds. ``threshold_method`` is kept
     for API symmetry but unused: the prologue always runs the exact
     in-VMEM counting search (K0).
+
+    ``lagged_nvt1`` drops the per-iteration K1 kernel: K2 already
+    computes the identical filtered-NVT t6 sums (same weight formula,
+    same thresholds) on the post-VU normals that BECOME the next
+    iteration's input normals — the only difference from a fresh K1 is
+    that the weight masks see positions one clamped half-step stale.
+    The t6 summands themselves are neighbor-normal outer products
+    (positions enter only the masks), so this is the same approximation
+    family as the frozen-KD-tree thresholds (Selector.py:141) and the
+    lagged global deltas. Iteration 0 still runs a fresh K1.
     """
     iters = cfg.iterations if iterations is None else iterations
     n_in = points.shape[0]
@@ -1613,19 +1624,40 @@ def pallas_denoise_hybrid(
 
     gq0 = _set_rk_slim(gq0, rk_feat, rk_step)
 
-    def one_iteration(carry, _):
-        gq, scal_prev = carry
-        t6 = k1(starts, sub_starts, meta, gq, gq)
-        gq2 = _xla_vu_stage(t6, gq, cfg)
-        k2out = k2(starts, sub_starts, meta, gq2, gq2, scal_prev)
-        gq_n, scal, cls = _xla_update_stage(
-            k2out, gq2, scal_prev, d_thr, cfg, strategy, needs_delta, lay, nv
-        )
-        return (gq_n, scal), cls
+    if lagged_nvt1:
+        # K2's t6 rows (filtered NVT of the post-VU normals) double as
+        # the NEXT iteration's K1 output — see the docstring. Only the
+        # first iteration pays for a fresh K1.
+        t6_0 = k1(starts, sub_starts, meta, gq0, gq0)[0:6]
 
-    (gq_f, _), cls_hist = jax.lax.scan(
-        one_iteration, (gq0, scal0), None, length=iters
-    )
+        def one_iteration_lag(carry, _):
+            gq, scal_prev, t6 = carry
+            gq2 = _xla_vu_stage(t6, gq, cfg)
+            k2out = k2(starts, sub_starts, meta, gq2, gq2, scal_prev)
+            gq_n, scal, cls = _xla_update_stage(
+                k2out, gq2, scal_prev, d_thr, cfg, strategy,
+                needs_delta, lay, nv,
+            )
+            return (gq_n, scal, k2out[lay["t6"] : lay["t6"] + 6]), cls
+
+        (gq_f, _, _), cls_hist = jax.lax.scan(
+            one_iteration_lag, (gq0, scal0, t6_0), None, length=iters
+        )
+    else:
+        def one_iteration(carry, _):
+            gq, scal_prev = carry
+            t6 = k1(starts, sub_starts, meta, gq, gq)
+            gq2 = _xla_vu_stage(t6, gq, cfg)
+            k2out = k2(starts, sub_starts, meta, gq2, gq2, scal_prev)
+            gq_n, scal, cls = _xla_update_stage(
+                k2out, gq2, scal_prev, d_thr, cfg, strategy, needs_delta,
+                lay, nv,
+            )
+            return (gq_n, scal), cls
+
+        (gq_f, _), cls_hist = jax.lax.scan(
+            one_iteration, (gq0, scal0), None, length=iters
+        )
     out_pos = unsort(gq_f[0:3].T, sc.orig_idx)[:n_in]
     out_nrm = unsort(gq_f[3:6].T, sc.orig_idx)[:n_in]
     out_cls = unsort(

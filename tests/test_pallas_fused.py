@@ -141,3 +141,31 @@ def test_hybrid_window_sharing_matches_per_tile():
     assert (np.asarray(ac) == np.asarray(bc)).all()
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(an), np.asarray(bn), atol=1e-6)
+
+
+def test_hybrid_lagged_nvt1_close_to_fresh():
+    """lagged_nvt1 reuses K2's filtered-NVT t6 rows as the next
+    iteration's K1 output. The t6 summands are neighbor-normal outer
+    products — positions enter only the (frozen-threshold) weight
+    masks — so on a sphere cloud with clamped steps the two paths
+    stay within mask-flip noise of each other, and usually match
+    exactly."""
+    from ngpd_tpu.core.pallas_fused import pallas_denoise_hybrid
+
+    pts, nrm = sphere_cloud(1024, seed=9)
+    rng = np.random.default_rng(10)
+    noisy = (pts + rng.normal(scale=0.03, size=pts.shape)).astype(np.float32)
+    a, _, ac = pallas_denoise_hybrid(
+        jnp.asarray(noisy), jnp.asarray(nrm), iterations=3,
+        tile=128, window=128, interpret=True,
+    )
+    b, _, bc = pallas_denoise_hybrid(
+        jnp.asarray(noisy), jnp.asarray(nrm), iterations=3,
+        tile=128, window=128, interpret=True, lagged_nvt1=True,
+    )
+    assert np.mean(np.asarray(ac) == np.asarray(bc)) > 0.99
+    diff = np.abs(np.asarray(a) - np.asarray(b))
+    # A handful of mask-flip points may move by ~the clamp step; the
+    # bulk must be (near-)identical.
+    assert np.mean(diff <= 2e-3) > 0.999
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
