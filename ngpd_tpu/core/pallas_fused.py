@@ -1225,14 +1225,12 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta,
         for r in range(3):  # sv
             rows.append(_wsum(m8f, wr[r])[None, :])
         if use_edge:
-            # Q[c,a,b] = sum_j m8 n_c n_a p_b — 27 rows.
-            for c in range(3):
-                for a in range(3):
-                    base = wr[3 + c] * wr[3 + a]
-                    for b in range(3):
-                        rows.append(
-                            _wsum(m8f, base * wr[b])[None, :]
-                        )
+            # Q[c,a,b] = sum_j m8 n_c n_a p_b, symmetric in (c,a) —
+            # 18 unique rows (pairs c<=a, 3 p-components each).
+            for c, a in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+                base = wr[3 + c] * wr[3 + a]
+                for b in range(3):
+                    rows.append(_wsum(m8f, base * wr[b])[None, :])
         dotj = pn[None, :] - cross  # n_j . (p_j - p_i)
         if use_flat:
             delta = scal_ref[1, 0]
@@ -1308,7 +1306,7 @@ def _k2_layout(strategy, needs_delta):
     lay["b_nv"] = o; o += 3
     lay["sv"] = o; o += 3
     if "edge" in strategy:
-        lay["q27"] = o; o += 27
+        lay["q18"] = o; o += 18  # sym (c,a) pairs x 3 p-components
     if "flat" in strategy:
         lay["flat"] = o; o += 2
     if "new" in strategy:
@@ -1404,10 +1402,14 @@ def _xla_update_stage(
                 jnp.where(nrm <= d_thr, p + dd, p) for p, dd in zip(p_i, di)
             )
         elif name == "edge":
-            q = k2[lay["q27"] : lay["q27"] + 27]
+            q = k2[lay["q18"] : lay["q18"] + 18]
+            # Symmetric-pair storage: row index of Q[c,a,:].
+            pidx = {(0, 0): 0, (0, 1): 1, (0, 2): 2,
+                    (1, 1): 3, (1, 2): 4, (2, 2): 5}
+            pidx.update({(a, c): i for (c, a), i in list(pidx.items())})
             q_yy = tuple(
                 sum(
-                    q[c * 9 + a * 3 + b] * y[a] * y[b]
+                    q[pidx[(c, a)] * 3 + b] * y[a] * y[b]
                     for a in range(3)
                     for b in range(3)
                 )
