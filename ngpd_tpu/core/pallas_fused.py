@@ -1251,10 +1251,9 @@ def _make_k2(t_sz, wt, num_tiles, cfg: DenoiseConfig, strategy, needs_delta,
                 rows.append(_wsum(like, nnv[r])[None, :])
             for r in range(3):
                 rows.append(_wsum(like, wr[r])[None, :])
-        # deg + per-point delta ingredients.
+        # deg + per-point delta ingredients. (sum_j m8 p_j is already
+        # emitted above as the sv rows — the lag-state stage reuses it.)
         rows.append(jnp.sum(m8f, axis=1)[None, :])
-        for r in range(3):  # sum_j m8 p_j
-            rows.append(_wsum(m8f, wr[r])[None, :])
         for ci in range(len(needs_delta)):
             cen = (scal_ref[4 + ci, 0], scal_ref[4 + ci, 1], scal_ref[4 + ci, 2])
             p2w = jnp.sum(wr[0:3] * wr[0:3], axis=0)
@@ -1312,7 +1311,7 @@ def _k2_layout(strategy, needs_delta):
     if "new" in strategy:
         lay["new"] = o; o += 12
     lay["deg"] = o; o += 1
-    lay["jp"] = o; o += 3
+    lay["jp"] = lay["sv"]  # sum_j m8 p_j — same rows as sv, not re-emitted
     lay["maxd"] = o; o += len(needs_delta)
     lay["_total"] = o + ((-o) % 8)
     return lay
