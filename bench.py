@@ -169,9 +169,14 @@ def main():
         # Hybrid Pallas engine: window reductions in VMEM kernels,
         # per-point math (eigh/VU/solves) as full-width XLA fusions;
         # stale-threshold + lagged-delta semantics mirror the
-        # reference's frozen KD-tree (Selector.py:141).
+        # reference's frozen KD-tree (Selector.py:141). lagged_nvt1
+        # reuses K2's filtered-NVT rows as the next iteration's K1
+        # (one window kernel per iteration instead of two); the
+        # quality gate below scores the benched configuration.
+        lagged = os.environ.get("NGPD_BENCH_LAGGED_NVT1", "1") != "0"
         run = lambda: pallas_denoise_hybrid(
             pts, nrm, cfg, iterations=iters, tile=256, window=128,
+            lagged_nvt1=lagged,
         )
 
     import jax.numpy as _jnp
