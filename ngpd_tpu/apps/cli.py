@@ -77,6 +77,7 @@ def cmd_denoise(args):
             out, nrm_out, _ = pallas_denoise_hybrid(
                 pts, nrm, cfg, strategy=strategy,
                 iterations=args.iterations or 2, window=args.window,
+                lagged_nvt1=args.lagged_nvt1,
             )
         else:
             out, nrm_out, _ = fused_denoise(
@@ -361,6 +362,10 @@ def main(argv=None):
     d.add_argument("--gt", default=None)
     d.add_argument("--fused", action="store_true")
     d.add_argument("--window", type=int, default=512)
+    d.add_argument("--lagged-nvt1", action="store_true",
+                   help="big-cloud TPU path: reuse K2's filtered-NVT "
+                        "rows as the next iteration's NVT1 (~25%% "
+                        "faster; weight masks one half-step stale)")
     d.set_defaults(fn=cmd_denoise)
 
     e = sub.add_parser("eval", help="CD/sCD/Hausdorff/Paper metrics")
