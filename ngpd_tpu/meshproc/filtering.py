@@ -53,10 +53,15 @@ def update_vertex_positions(
         nf = filtered_normals[vf_idx]  # (V, D, 3)
         cf = centroids[vf_idx]
         dot = jnp.sum(nf * (cf - pts[:, None, :]), axis=-1)
-        contrib = nf * dot[..., None]
+        # where-mask the whole contribution: a padding slot whose
+        # gathered face carries non-finite data must contribute exactly
+        # 0 — multiplying by a 0 mask would leave 0 * NaN = NaN.
+        contrib = jnp.where(
+            vf_mask[..., None], nf * dot[..., None], 0.0
+        )
         m = vf_mask.astype(pts.dtype)[..., None]
         deg = jnp.maximum(jnp.sum(m, axis=1), 1.0)
-        new = pts + jnp.sum(contrib * m, axis=1) / deg
+        new = pts + jnp.sum(contrib, axis=1) / deg
         if fixed_boundary and boundary_mask is not None:
             new = jnp.where(boundary_mask[:, None], pts, new)
         return new, None
@@ -80,8 +85,15 @@ def _gnf_radius_sigma(
     d = jnp.linalg.norm(centroids[ff_idx] - centroids[:, None, :], axis=-1)
     m = ff_mask.astype(d.dtype)
     if face_mask is not None:
-        m = m * face_mask.astype(d.dtype)[:, None]
-    return multiple * jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1.0)
+        fm = face_mask.astype(d.dtype)
+        # mask both the row AND the referenced face: either side being
+        # a padded sentinel excludes the pair from the mean.
+        m = m * fm[:, None] * fm[ff_idx]
+    # where-mask, not multiply: masked-out entries (padded sentinel
+    # faces, meshproc.bucketing) can carry inf/NaN centroids and
+    # 0 * NaN = NaN would poison the global mean.
+    d = jnp.where(m > 0, d, 0.0)
+    return multiple * jnp.sum(d) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def guided_normal_filter(
@@ -125,8 +137,14 @@ def guided_normal_filter(
         # previous output (cpp:223-231).
         src = g_j if it == 0 else normals[nb_idx]
         filt = jnp.sum(w[..., None] * src, axis=1)
-        filt = filt / jnp.maximum(
-            jnp.linalg.norm(filt, axis=1, keepdims=True), 1e-30
+        # Zero-weight rescue: a face whose every neighborhood weight
+        # underflows (padded sentinel faces under a tight sigma_r; kNN
+        # excludes self) keeps its own current normal — normalizing a
+        # flushed-to-zero accumulator against the 1e-30 floor minted
+        # ~1e10-magnitude "normals" that blew up the vertex update.
+        nrm_f = jnp.linalg.norm(filt, axis=1, keepdims=True)
+        filt = jnp.where(
+            nrm_f > 1e-12, filt / jnp.maximum(nrm_f, 1e-12), normals
         )
         cur_v = update_vertex_positions(
             cur_v, f, vf_idx, vf_mask, filt, cfg.vertex_iterations

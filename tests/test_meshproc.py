@@ -142,3 +142,57 @@ def test_predict_face_normals_sharded_parity():
         ico, model, variables, pcfg, pmesh=make_mesh(8)
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
+def test_gnf_nonfinite_hardening():
+    """Padded-mesh hazards (meshproc.bucketing): masked sentinel faces
+    can carry inf/NaN centroids after a runaway strip update, and faces
+    whose every neighborhood weight underflows must keep their own
+    normal instead of normalizing a flushed-to-zero accumulator (the
+    round-4 all-NaN build2 bug)."""
+    from ngpd_tpu.meshproc.filtering import _gnf_radius_sigma
+
+    v, f = _plane_mesh(6)
+    # A "sentinel" vertex at inf on the last face's row via face_mask.
+    v_bad = v.copy()
+    v_bad[int(f[-1][0])] = np.inf
+    m = TriMesh.from_numpy(v_bad, f)
+    face_mask = np.ones(len(f), bool)
+    # mask out every face touching the inf vertex
+    face_mask[np.any(f == int(f[-1][0]), axis=1)] = False
+    sigma = _gnf_radius_sigma(m, 1.0, jnp.asarray(face_mask))
+    assert np.isfinite(float(sigma)), float(sigma)
+
+    # update_vertex_positions: NaN normals on masked adjacency slots
+    # must contribute exactly zero.
+    v2, f2 = _plane_mesh(4)
+    m2 = TriMesh.from_numpy(v2, f2)
+    vf_idx, vf_mask = m2.vertex_face_adjacency()
+    normals = np.tile([[0.0, 0.0, 1.0]], (len(f2), 1)).astype(np.float32)
+    normals[0] = np.nan  # face 0 is the padding fill value of vf_idx
+    vf_mask_np = np.asarray(vf_mask).copy()
+    vf_mask_np[np.asarray(vf_idx) == 0] = False  # mask face-0 slots
+    out = update_vertex_positions(
+        m2.v, m2.f, vf_idx, jnp.asarray(vf_mask_np),
+        jnp.asarray(normals), iterations=4,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gnf_zero_weight_rescue():
+    """sigma_r so tight that every range weight underflows: each face
+    must keep its own normal (finite output, geometry barely moves)
+    rather than exploding to ~1e10 pseudo-normals."""
+    v, f = _plane_mesh(6)
+    rng = np.random.default_rng(3)
+    m = TriMesh.from_numpy(v, f)
+    guidance = rng.normal(size=(len(f), 3))
+    guidance /= np.linalg.norm(guidance, axis=1, keepdims=True)
+    cfg = GNFConfig(normal_iterations=2, vertex_iterations=4,
+                    sigma_r=1e-6)
+    out = guided_normal_filter(
+        m, jnp.asarray(guidance.astype(np.float32)), cfg, neighbors=16
+    )
+    ov = np.asarray(out.v)
+    assert np.isfinite(ov).all()
+    assert np.abs(ov - v).max() < 1.0, np.abs(ov - v).max()
