@@ -11,10 +11,11 @@ sigma_r, vertex_iterations) combination by mean angular error and
 chamfer distance against the clean mesh.
 
 Recorded operating point (docs/GOLDEN.md is the source of truth): the
-tuned GLOBAL setting is normal_iterations=16, sigma_r=0.12,
-vertex_iterations=16 — single-pass Ea fandisk 5.89, trim-star 4.92
-(beats the reference's 5.32), fertility 4.63, nicolo 5.53 under the
-shipped checkpoint.
+round-4 bi-objective GLOBAL pick is normal_iterations=20, sigma_r=0.12,
+vertex_iterations=8 — single-pass Ea fandisk 5.68, trim-star 4.78
+(beats the reference's 5.32 on Ea and CD), fertility 4.49, nicolo 5.44
+under the shipped checkpoint, with no mesh above 1.5x the reference's
+chamfer distance.
 
 Every row is scored bi-objectively: Ea AND chamfer distance, both as
 raw values and as ratios to the reference's own shipped output
