@@ -330,11 +330,13 @@ def main():
     ap.add_argument("--eval-out", default="golden_eval.json")
     ap.add_argument("--only", default=None,
                     help="substring filter on the golden mesh name (eval)")
-    # GNF knobs for eval (the app's box_iterations + sigma_r slider);
-    # defaults mirror MeshNormalFiltering.cpp:29-40.
-    ap.add_argument("--normal-iterations", type=int, default=12)
-    ap.add_argument("--sigma-r", type=float, default=0.3)
-    ap.add_argument("--vertex-iterations", type=int, default=16)
+    # GNF knobs (the app's box_iterations + sigma_r slider); defaults
+    # are the round-4 tuned operating point (docs/GOLDEN.md) — pass
+    # 12 / 0.3 / 16 to reproduce the reference app's own constants
+    # (MeshNormalFiltering.cpp:29-40).
+    ap.add_argument("--normal-iterations", type=int, default=20)
+    ap.add_argument("--sigma-r", type=float, default=0.12)
+    ap.add_argument("--vertex-iterations", type=int, default=8)
     ap.add_argument("--radius-scale", type=float, default=2.0)
     ap.add_argument("--sigma-s-scale", type=float, default=1.0)
     ap.add_argument("--cosine", action="store_true",

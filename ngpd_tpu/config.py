@@ -101,13 +101,21 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class GNFConfig:
-    """Guided normal filtering (MeshNormalFiltering.cpp:29-40)."""
+    """Guided normal filtering (MeshNormalFiltering.cpp:29-40).
+
+    Defaults are the round-4 bi-objective operating point tuned for
+    THIS repo's guidance network (docs/GOLDEN.md): picked on the four
+    golden meshes under a 1.5x chamfer cap and validated to win on
+    both Ea and CD on seven held-out shapes (examples/
+    validate_heldout.py). The reference app's own constants
+    (MeshNormalFiltering.cpp:29-40, tuned for ITS network) are kept as
+    ``REFERENCE_GNF``."""
 
     radius_scale: float = 2.0
     sigma_s_scale: float = 1.0
-    normal_iterations: int = 12
-    sigma_r: float = 0.3
-    vertex_iterations: int = 16
+    normal_iterations: int = 20
+    sigma_r: float = 0.12
+    vertex_iterations: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,4 +139,8 @@ DEFAULT_NOISE = NoiseConfig()
 DEFAULT_MODEL = ModelConfig()
 DEFAULT_TRAIN = TrainConfig()
 DEFAULT_GNF = GNFConfig()
+# The reference app's shipped constants (MeshNormalFiltering.cpp:29-40).
+REFERENCE_GNF = GNFConfig(
+    normal_iterations=12, sigma_r=0.3, vertex_iterations=16
+)
 DEFAULT_PATCH = PatchConfig()
