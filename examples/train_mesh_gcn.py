@@ -276,6 +276,16 @@ def evaluate(args):
         sigma_r=args.sigma_r,
         vertex_iterations=args.vertex_iterations,
     )
+    gnf_cfg2 = None
+    if args.pass2:
+        ni2, sr2, vi2 = args.pass2.split(":")
+        gnf_cfg2 = GNFConfig(
+            radius_scale=args.radius_scale,
+            sigma_s_scale=args.sigma_s_scale,
+            normal_iterations=int(ni2),
+            sigma_r=float(sr2),
+            vertex_iterations=int(vi2),
+        )
 
     cd = lambda a, b: float(pm.chamfer_distance(a, b).mean())  # noqa: E731
     rows = []
@@ -289,7 +299,7 @@ def evaluate(args):
         ours = gcn_denoise_mesh(
             noisy, model, variables, passes=args.gcns,
             gnf_cfg=gnf_cfg, variables2=variables2,
-            bucketed=args.bucketed,
+            bucketed=args.bucketed, gnf_cfg2=gnf_cfg2,
         )
         dt = time.time() - t0
         row = {
@@ -334,6 +344,9 @@ def main():
     # are the round-4 tuned operating point (docs/GOLDEN.md) — pass
     # 12 / 0.3 / 16 to reproduce the reference app's own constants
     # (MeshNormalFiltering.cpp:29-40).
+    ap.add_argument("--pass2", default=None,
+                    help="ni:sigma_r:vi for passes after the first "
+                         "(eval; default: same knobs as pass 1)")
     ap.add_argument("--normal-iterations", type=int, default=20)
     ap.add_argument("--sigma-r", type=float, default=0.12)
     ap.add_argument("--vertex-iterations", type=int, default=8)

@@ -217,6 +217,16 @@ def cmd_denoise_mesh(args):
 
         variables = _load_dgcnn_ckpt(args.ckpt)
         variables2 = _load_dgcnn_ckpt(args.ckpt2) if args.ckpt2 else None
+        cfg2 = None
+        if args.pass2:
+            ni2, sr2, vi2 = args.pass2.split(":")
+            cfg2 = GNFConfig(
+                radius_scale=args.radius_scale,
+                sigma_s_scale=args.sigma_s_scale,
+                normal_iterations=int(ni2),
+                sigma_r=float(sr2),
+                vertex_iterations=int(vi2),
+            )
         out = gcn_denoise_mesh(
             mesh,
             dgcnn_from_variables(variables),
@@ -226,6 +236,7 @@ def cmd_denoise_mesh(args):
             batch_size=args.batch_size,
             variables2=variables2,
             bucketed=args.bucketed,
+            gnf_cfg2=cfg2,
         )
     else:
         # Guidance: GT normals when given (the prediction-slot oracle),
@@ -430,6 +441,12 @@ def main(argv=None):
     dm.add_argument(
         "--gcns", type=int, default=1,
         help="number of GCN+GNF passes (the app's box_gcns knob)",
+    )
+    dm.add_argument(
+        "--pass2", default=None, metavar="NI:SR:VI",
+        help="filter knobs for passes >= 2 (e.g. 8:0.12:4) — a gentler "
+        "second pass preserves what pass 1 converged; defaults to the "
+        "pass-1 knobs like the reference app",
     )
     dm.add_argument(
         "--bucketed", action="store_true",

@@ -101,6 +101,7 @@ def gcn_denoise_mesh(
     variables2=None,
     bucketed: bool = False,
     pmesh=None,
+    gnf_cfg2: Optional[GNFConfig] = None,
 ) -> TriMesh:
     """GCN-predicted normals -> guided filtering, optionally iterated
     with rebuilt neighborhoods (the app's box_gcns knob,
@@ -110,6 +111,14 @@ def gcn_denoise_mesh(
     cascade's second-stage network trained on first-pass outputs
     (script_model_2.pt, MeshViewer.cpp:787-798). Defaults to
     ``variables`` (single-model iteration).
+
+    ``gnf_cfg2``: filter knobs for every pass after the first. The
+    second pass starts from near-clean geometry with residual feature
+    blur, so re-running the full first-pass iteration budget
+    over-smooths it; a shorter, gentler pass preserves what pass 1
+    already converged (docs/GOLDEN.md cascade table). Defaults to
+    ``gnf_cfg`` (the reference app reuses its constants on every pass,
+    MeshNormalFiltering.cpp:29-40).
 
     ``pmesh``: dp-shard the patch inference over a device mesh (see
     predict_face_normals) — the flagship pipeline's scale-out knob.
@@ -132,8 +141,9 @@ def gcn_denoise_mesh(
             # their rows numerically tame.
             own, _, _ = out.face_data()
             guidance = jnp.where(face_mask[:, None], guidance, own)
+        pass_cfg = gnf_cfg if p == 0 or gnf_cfg2 is None else gnf_cfg2
         out = guided_normal_filter(
-            out, guidance, gnf_cfg, face_mask=face_mask
+            out, guidance, pass_cfg, face_mask=face_mask
         )
     if bucketed:
         return mesh.with_vertices(out.v[: mesh.num_vertices])

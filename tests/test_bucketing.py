@@ -130,3 +130,31 @@ def test_cascade_second_stage_weights_used():
     )
     # First pass identical, second differs -> outputs differ.
     assert float(jnp.abs(cascade.v - same.v).max()) > 1e-7
+
+
+def test_cascade_pass2_filter_config_used():
+    """gnf_cfg2 must drive every pass after the first: a gentler second-
+    pass filter (the cascade recipe, docs/GOLDEN.md) changes the output,
+    and pass 1 is unaffected (passes=1 ignores gnf_cfg2)."""
+    mesh = _noisy_wedge()
+    model = DGCNN()
+    x0 = jnp.zeros((2, 20, PatchConfig().num_nodes))
+    v1 = model.init(jax.random.PRNGKey(0), x0, train=False)
+    cfg = GNFConfig(normal_iterations=2, vertex_iterations=2)
+    gentle = GNFConfig(normal_iterations=1, vertex_iterations=1)
+    full = gcn_denoise_mesh(
+        mesh, model, v1, passes=2, gnf_cfg=cfg, batch_size=256
+    )
+    eased = gcn_denoise_mesh(
+        mesh, model, v1, passes=2, gnf_cfg=cfg, batch_size=256,
+        gnf_cfg2=gentle,
+    )
+    assert float(jnp.abs(eased.v - full.v).max()) > 1e-7
+    one_a = gcn_denoise_mesh(
+        mesh, model, v1, passes=1, gnf_cfg=cfg, batch_size=256
+    )
+    one_b = gcn_denoise_mesh(
+        mesh, model, v1, passes=1, gnf_cfg=cfg, batch_size=256,
+        gnf_cfg2=gentle,
+    )
+    np.testing.assert_array_equal(np.asarray(one_a.v), np.asarray(one_b.v))
