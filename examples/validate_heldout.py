@@ -19,6 +19,12 @@ Usage:
   python examples/validate_heldout.py [--ckpt assets/dgcnn_mesh.npz]
       [--settings 12:0.3:16,16:0.12:16]   # ni:sr:vi triples
       [--out /tmp/heldout.jsonl]
+
+Cascade mode (``--cascade assets/dgcnn_mesh_2.npz --pass2 4:0.12:2``)
+scores the full deployment flow instead — single pass vs the
+two-stage cascade with the gentle second-pass knobs — on the same
+held-out cases, validating the docs/GOLDEN.md cascade recipe off the
+goldens it was picked on.
 """
 
 from __future__ import annotations
@@ -73,10 +79,17 @@ def main():
                     help="comma list of ni:sr:vi knob triples")
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=20260818)
+    ap.add_argument("--cascade", default=None,
+                    help="stage-2 weights: score 1-pass vs 2-pass "
+                    "deployment flow instead of filter-knob settings")
+    ap.add_argument("--pass2", default="4:0.12:2",
+                    help="ni:sr:vi for the cascade's second pass")
     args = ap.parse_args()
 
     variables = load_dgcnn_npz(args.ckpt)
     model = dgcnn_from_variables(variables)
+    if args.cascade:
+        return run_cascade(args, model, variables)
     settings = []
     for trip in args.settings.split(","):
         ni, sr, vi = trip.split(":")
@@ -112,6 +125,54 @@ def main():
         gmean_cd = float(np.exp(np.mean([np.log(r["CD"]) for r in sub])))
         print(f"# setting ni={ni} sr={sr} vi={vi}: "
               f"mean Ea {mean_ea:.3f}, gmean CD {gmean_cd:.3e}")
+
+
+def run_cascade(args, model, variables):
+    """Single-pass vs two-stage cascade on the held-out cases, full
+    deployment flow (guidance recomputed per pass, docs/GOLDEN.md
+    cascade recipe)."""
+    from ngpd_tpu.meshproc.gcn_denoiser import gcn_denoise_mesh
+
+    variables2 = load_dgcnn_npz(args.cascade)
+    ni2, sr2, vi2 = args.pass2.split(":")
+    cfg2 = GNFConfig(normal_iterations=int(ni2), sigma_r=float(sr2),
+                     vertex_iterations=int(vi2))
+    rows = []
+    for i, (label, clean, ntype, level) in enumerate(heldout_cases()):
+        key = jax.random.PRNGKey(args.seed + i)
+        noisy = add_mesh_noise(clean, key, level, noise_type=ntype)
+        for passes in (1, 2):
+            out = gcn_denoise_mesh(
+                noisy, model, variables, passes=passes,
+                gnf_cfg=GNFConfig(), variables2=variables2,
+                gnf_cfg2=cfg2, bucketed=True,
+            )
+            row = {
+                "mesh": label, "passes": passes,
+                "Ea_noisy": round(float(mean_angular_error(noisy, clean)), 3),
+                "Ea": round(float(mean_angular_error(out, clean)), 3),
+                "CD": float(jnp.mean(pm.chamfer_distance(
+                    np.asarray(clean.v), np.asarray(out.v)))),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    if args.out:
+        Path(args.out).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n")
+    for passes in (1, 2):
+        sub = [r for r in rows if r["passes"] == passes]
+        mean_ea = sum(r["Ea"] for r in sub) / len(sub)
+        gmean_cd = float(np.exp(np.mean([np.log(r["CD"]) for r in sub])))
+        wins = sum(
+            1 for a, b in zip(
+                [r for r in rows if r["passes"] == 2],
+                [r for r in rows if r["passes"] == 1],
+            ) if a["Ea"] < b["Ea"]
+        )
+        print(f"# passes={passes}: mean Ea {mean_ea:.3f}, "
+              f"gmean CD {gmean_cd:.3e}"
+              + (f" (cascade wins {wins}/{len(sub)} cases)"
+                 if passes == 2 else ""))
 
 
 if __name__ == "__main__":
