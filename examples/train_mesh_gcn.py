@@ -295,11 +295,22 @@ def evaluate(args):
         noisy = load_mesh(REF / noisy_rel)
         clean = load_mesh(REF / clean_rel)
         ref_out = load_mesh(REF / ref_rel)
+        passes, cfg1, cfg2 = args.gcns, gnf_cfg, gnf_cfg2
+        recipe_label = None
+        if args.auto:
+            # Regime knobs estimated from the noisy mesh alone
+            # (meshproc.autorecipe) — the flag overrides the manual
+            # --gcns/--pass2/kernel knobs.
+            from ngpd_tpu.meshproc.autorecipe import pick_recipe
+
+            recipe = pick_recipe(noisy)
+            passes, cfg1, cfg2 = recipe.passes, recipe.gnf_cfg, recipe.gnf_cfg2
+            recipe_label = recipe.label
         t0 = time.time()
         ours = gcn_denoise_mesh(
-            noisy, model, variables, passes=args.gcns,
-            gnf_cfg=gnf_cfg, variables2=variables2,
-            bucketed=args.bucketed, gnf_cfg2=gnf_cfg2,
+            noisy, model, variables, passes=passes,
+            gnf_cfg=cfg1, variables2=variables2,
+            bucketed=args.bucketed, gnf_cfg2=cfg2,
         )
         dt = time.time() - t0
         row = {
@@ -312,6 +323,8 @@ def evaluate(args):
             "CD_ours": cd(clean.v, ours.v),
             "seconds": dt,
         }
+        if recipe_label is not None:
+            row["recipe"] = recipe_label
         rows.append(row)
         print(json.dumps(row), flush=True)
     out = WORK / args.eval_out
@@ -340,6 +353,9 @@ def main():
     ap.add_argument("--eval-out", default="golden_eval.json")
     ap.add_argument("--only", default=None,
                     help="substring filter on the golden mesh name (eval)")
+    ap.add_argument("--auto", action="store_true",
+                    help="eval: pick passes + filter knobs per mesh via "
+                         "meshproc.autorecipe instead of the flags")
     # GNF knobs (the app's box_iterations + sigma_r slider); defaults
     # are the round-4 tuned operating point (docs/GOLDEN.md) — pass
     # 12 / 0.3 / 16 to reproduce the reference app's own constants

@@ -217,6 +217,7 @@ def cmd_denoise_mesh(args):
 
         variables = _load_dgcnn_ckpt(args.ckpt)
         variables2 = _load_dgcnn_ckpt(args.ckpt2) if args.ckpt2 else None
+        passes = args.gcns
         cfg2 = None
         if args.pass2:
             ni2, sr2, vi2 = args.pass2.split(":")
@@ -227,11 +228,24 @@ def cmd_denoise_mesh(args):
                 sigma_r=float(sr2),
                 vertex_iterations=int(vi2),
             )
+        if args.auto:
+            # Estimate the noise/feature regime from the input itself
+            # and pick the per-regime knobs (meshproc.autorecipe) —
+            # overrides --gcns/--pass2 and the kernel flags.
+            from ..meshproc.autorecipe import pick_recipe
+
+            recipe = pick_recipe(mesh)
+            passes, cfg, cfg2 = recipe.passes, recipe.gnf_cfg, recipe.gnf_cfg2
+            print(
+                f"auto recipe: {recipe.label} "
+                f"(noise {recipe.stats.noise_deg:.1f} deg, "
+                f"crease density {recipe.stats.crease_density:.2f})"
+            )
         out = gcn_denoise_mesh(
             mesh,
             dgcnn_from_variables(variables),
             variables,
-            passes=args.gcns,
+            passes=passes,
             gnf_cfg=cfg,
             batch_size=args.batch_size,
             variables2=variables2,
@@ -447,6 +461,12 @@ def main(argv=None):
         help="filter knobs for passes >= 2 (e.g. 8:0.12:4) — a gentler "
         "second pass preserves what pass 1 converged; defaults to the "
         "pass-1 knobs like the reference app",
+    )
+    dm.add_argument(
+        "--auto", action="store_true",
+        help="estimate the noise/crease regime from the input and pick "
+        "passes + filter knobs automatically (meshproc.autorecipe); "
+        "overrides --gcns/--pass2 and the kernel knobs",
     )
     dm.add_argument(
         "--bucketed", action="store_true",

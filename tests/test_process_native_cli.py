@@ -227,6 +227,53 @@ def test_cli_denoise_mesh_cascade_ckpt2(tmp_path):
     assert float(np.abs(a - b).max()) > 1e-6
 
 
+def test_cli_denoise_mesh_auto_recipe(tmp_path, capsys):
+    """--auto estimates the regime from the input and picks the knobs
+    (meshproc.autorecipe) — the spinbox-free counterpart of the
+    reference app's manual noise/iteration controls
+    (GCNDenoiser.cpp:25-33). A lightly-noised flat grid must route to
+    the default recipe and still produce output."""
+    import jax
+
+    from ngpd_tpu.apps.cli import main
+    from ngpd_tpu.learn.train_dgcnn import dgcnn_variables, init_dgcnn
+    from ngpd_tpu.learn.weights import save_variables_npz
+    from ngpd_tpu.io.obj import save_obj as save
+
+    n = 6
+    rng = np.random.default_rng(11)
+    xs, ys = np.meshgrid(
+        np.arange(n, dtype=np.float32), np.arange(n, dtype=np.float32)
+    )
+    v = np.stack(
+        [xs.ravel(), ys.ravel(), np.zeros(n * n, np.float32)], axis=1
+    )
+    f = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (
+                i * n + j, i * n + j + 1, (i + 1) * n + j, (i + 1) * n + j + 1
+            )
+            f.extend([[a, b, c], [b, d, c]])
+    f = np.asarray(f, np.int32)
+    noisy_p = tmp_path / "noisy.obj"
+    out_p = tmp_path / "out.obj"
+    save(str(noisy_p), v + 0.02 * rng.normal(size=v.shape).astype(np.float32),
+         faces=f)
+
+    _, state, _ = init_dgcnn(jax.random.PRNGKey(0), emb_dims=64)
+    ckpt = tmp_path / "w.npz"
+    save_variables_npz(ckpt, jax.device_get(dgcnn_variables(state)))
+
+    main([
+        "denoise-mesh", str(noisy_p), "-o", str(out_p),
+        "--ckpt", str(ckpt), "--auto", "--batch-size", "128",
+    ])
+    assert out_p.exists()
+    captured = capsys.readouterr().out
+    assert "auto recipe: default" in captured
+
+
 def test_viz_outputs(tmp_path):
     from ngpd_tpu.apps import viz
 
