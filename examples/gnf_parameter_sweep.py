@@ -92,7 +92,9 @@ def pick(path: str, cd_cap: float) -> None:
     meshes = sorted({r["mesh"] for r in rows})
     by_setting: dict = {}
     for r in rows:
-        by_setting.setdefault((r["ni"], r["sr"], r["vi"]), {})[r["mesh"]] = r
+        key = (r["ni"], r["sr"], r["vi"],
+               r.get("gsi", 0), r.get("gss", 0.35))
+        by_setting.setdefault(key, {})[r["mesh"]] = r
     candidates = []
     for key, per_mesh in by_setting.items():
         if len(per_mesh) != len(meshes):
@@ -101,6 +103,7 @@ def pick(path: str, cd_cap: float) -> None:
         cd = [per_mesh[m]["CD_ratio"] for m in meshes]
         candidates.append({
             "ni": key[0], "sr": key[1], "vi": key[2],
+            "gsi": key[3], "gss": key[4],
             "worst_Ea_ratio": max(ea), "mean_Ea_ratio": sum(ea) / len(ea),
             "worst_CD_ratio": max(cd), "mean_CD_ratio": sum(cd) / len(cd),
             "per_mesh": {m: (per_mesh[m]["Ea"], per_mesh[m]["CD"])
@@ -126,6 +129,10 @@ def main():
     ap.add_argument("--ni", default="8,12,16,20")
     ap.add_argument("--sr", default="0.25,0.3,0.35,0.45")
     ap.add_argument("--vi", default="16,24")
+    ap.add_argument("--gs-iters", default="0",
+                    help="guidance_smooth_iterations values to grid")
+    ap.add_argument("--gs-sigma", default="0.35",
+                    help="guidance_smooth_sigma values to grid")
     ap.add_argument("--radius-scale", type=float, default=2.0)
     ap.add_argument("--sigma-s-scale", type=float, default=1.0)
     ap.add_argument("--out", default=None,
@@ -147,6 +154,8 @@ def main():
     nis = [int(x) for x in args.ni.split(",")]
     srs = [float(x) for x in args.sr.split(",")]
     vis = [int(x) for x in args.vi.split(",")]
+    gsis = [int(x) for x in args.gs_iters.split(",")]
+    gsss = [float(x) for x in args.gs_sigma.split(",")]
 
     for noisy_rel, clean_rel, ref_rel in GOLDENS:
         stem = Path(noisy_rel).stem
@@ -166,17 +175,22 @@ def main():
             np.savez(cache_p, g=np.asarray(guidance))
             print(f"# {stem}: guidance in {time.time()-t0:.0f}s", flush=True)
 
-        for ni, sr, vi in itertools.product(nis, srs, vis):
+        for ni, sr, vi, gsi, gss in itertools.product(
+            nis, srs, vis, gsis, gsss
+        ):
             cfg = GNFConfig(
                 radius_scale=args.radius_scale,
                 sigma_s_scale=args.sigma_s_scale,
                 normal_iterations=ni, sigma_r=sr, vertex_iterations=vi,
+                guidance_smooth_iterations=gsi,
+                guidance_smooth_sigma=gss,
             )
             out = guided_normal_filter(noisy, guidance, cfg)
             ea = float(mean_angular_error(out, clean))
             cd = float(jnp.mean(pm.chamfer_distance(clean.v, out.v)))
             row = json.dumps({
                 "mesh": stem, "ni": ni, "sr": sr, "vi": vi,
+                "gsi": gsi, "gss": gss,
                 "Ea": round(ea, 3), "CD": cd,
                 "Ea_ratio": round(ea / ea_ref, 4),
                 "CD_ratio": round(cd / cd_ref, 4),

@@ -275,6 +275,8 @@ def evaluate(args):
         normal_iterations=args.normal_iterations,
         sigma_r=args.sigma_r,
         vertex_iterations=args.vertex_iterations,
+        guidance_smooth_iterations=args.guidance_smooth,
+        guidance_smooth_sigma=args.guidance_smooth_sigma,
     )
     gnf_cfg2 = None
     if args.pass2:
@@ -368,6 +370,8 @@ def main():
     ap.add_argument("--vertex-iterations", type=int, default=8)
     ap.add_argument("--radius-scale", type=float, default=2.0)
     ap.add_argument("--sigma-s-scale", type=float, default=1.0)
+    ap.add_argument("--guidance-smooth", type=int, default=0)
+    ap.add_argument("--guidance-smooth-sigma", type=float, default=0.5)
     ap.add_argument("--cosine", action="store_true",
                     help="cosine-decay the learning rate over the run")
     args = ap.parse_args()

@@ -198,6 +198,8 @@ def cmd_denoise_mesh(args):
         normal_iterations=args.normal_iterations,
         vertex_iterations=args.vertex_iterations,
         sigma_r=args.sigma_r,
+        guidance_smooth_iterations=args.guidance_smooth,
+        guidance_smooth_sigma=args.guidance_smooth_sigma,
     )
     gt_mesh = None
     if args.gt:
@@ -488,6 +490,13 @@ def main(argv=None):
     dm.add_argument("--sigma-s-scale", type=float, default=1.0,
                     help="spatial bandwidth multiple of the mean "
                     "centroid spacing (MeshNormalFiltering.cpp:33)")
+    dm.add_argument("--guidance-smooth", type=int, default=0,
+                    help="bilateral smoothing rounds applied to the "
+                    "GCN guidance field before filtering (organic "
+                    "meshes; no reference counterpart)")
+    dm.add_argument("--guidance-smooth-sigma", type=float, default=0.5,
+                    help="range bandwidth of --guidance-smooth in "
+                    "unit-normal distance")
     dm.add_argument("--error-map", action="store_true")
     dm.add_argument(
         "--html", default=None, metavar="FILE",

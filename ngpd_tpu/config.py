@@ -116,6 +116,17 @@ class GNFConfig:
     normal_iterations: int = 20
     sigma_r: float = 0.12
     vertex_iterations: int = 8
+    # Guidance-normal smoothing pre-pass (no reference counterpart —
+    # MeshNormalFiltering.cpp consumes the network's predictions raw).
+    # On crease-free organics the per-face prediction errors are nearly
+    # independent, so a few rounds of bilateral averaging of the
+    # GUIDANCE field cancels them ~sqrt(K) while the true normal field
+    # varies slowly; the range term (bandwidth ``guidance_smooth_sigma``
+    # in unit-normal distance, 0.35 ~ 20 deg) keeps any sharp feature
+    # from mixing. Off (0 iterations) in the default recipe; the
+    # organic auto-recipe turns it on (docs/GOLDEN.md).
+    guidance_smooth_iterations: int = 0
+    guidance_smooth_sigma: float = 0.35
 
 
 @dataclasses.dataclass(frozen=True)

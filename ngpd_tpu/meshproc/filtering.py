@@ -117,6 +117,28 @@ def guided_normal_filter(
     nbh, d2 = knn(centroids0, neighbors)
     in_radius = nbh.mask & (d2 <= radius**2)
     nb_idx = nbh.idx
+
+    if cfg.guidance_smooth_iterations > 0:
+        # Bilateral smoothing of the guidance FIELD before filtering
+        # (GNFConfig docstring): area x spatial x range weights over the
+        # same fixed neighborhood, self included (kNN excludes self).
+        normals0, areas0, _ = mesh.face_data()
+        sigma_s0 = _gnf_radius_sigma(mesh, cfg.sigma_s_scale, face_mask)
+        w_sp = areas0[nb_idx] * jnp.exp(
+            -0.5 * d2 / jnp.maximum(sigma_s0**2, 1e-30)
+        )
+        w_sp = jnp.where(in_radius, w_sp, 0.0)
+        sg2 = cfg.guidance_smooth_sigma**2
+        g = guidance_normals
+        for _ in range(cfg.guidance_smooth_iterations):
+            gj = g[nb_idx]
+            r2 = jnp.sum((g[:, None, :] - gj) ** 2, axis=-1)
+            w = w_sp * jnp.exp(-0.5 * r2 / sg2)
+            acc = areas0[:, None] * g + jnp.sum(w[..., None] * gj, axis=1)
+            nrm = jnp.linalg.norm(acc, axis=1, keepdims=True)
+            g = jnp.where(nrm > 1e-12, acc / jnp.maximum(nrm, 1e-12), g)
+        guidance_normals = g
+
     g_j = guidance_normals[nb_idx]  # (F, K, 3) — gathered once
     range_dis2 = jnp.sum(
         (guidance_normals[:, None, :] - g_j) ** 2, axis=-1

@@ -196,3 +196,53 @@ def test_gnf_zero_weight_rescue():
     ov = np.asarray(out.v)
     assert np.isfinite(ov).all()
     assert np.abs(ov - v).max() < 1.0, np.abs(ov - v).max()
+
+
+def test_guidance_smoothing_constant_field_identity():
+    # Smoothing a constant guidance field is a no-op (unit normalize of
+    # a positively-weighted average of one vector), so the filter output
+    # must match the unsmoothed path exactly.
+    v, f = _plane_mesh(8)
+    rng = np.random.default_rng(3)
+    noisy = v.copy()
+    noisy[:, 2] += rng.normal(scale=0.1, size=len(v)).astype(np.float32)
+    m = TriMesh.from_numpy(noisy, f)
+    guidance = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (len(f), 1))
+    base = guided_normal_filter(
+        m, guidance, GNFConfig(normal_iterations=2, vertex_iterations=4),
+        neighbors=16,
+    )
+    smoothed = guided_normal_filter(
+        m, guidance,
+        GNFConfig(normal_iterations=2, vertex_iterations=4,
+                  guidance_smooth_iterations=2),
+        neighbors=16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(base.v), np.asarray(smoothed.v), atol=1e-5
+    )
+
+
+def test_guidance_smoothing_cancels_prediction_noise():
+    # On a crease-free surface with NOISY guidance (the organic regime:
+    # near-independent per-face prediction errors), one smoothing round
+    # must reduce the angular error of the filtered mesh.
+    v, f = _plane_mesh(12)
+    rng = np.random.default_rng(5)
+    noisy = v.copy()
+    noisy[:, 2] += rng.normal(scale=0.1, size=len(v)).astype(np.float32)
+    gt = TriMesh.from_numpy(v, f)
+    m = TriMesh.from_numpy(noisy, f)
+    g = np.tile([0.0, 0.0, 1.0], (len(f), 1))
+    g += rng.normal(scale=0.25, size=g.shape)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    guidance = jnp.asarray(g, jnp.float32)
+    cfg0 = GNFConfig(normal_iterations=4, vertex_iterations=8)
+    cfg1 = GNFConfig(normal_iterations=4, vertex_iterations=8,
+                     guidance_smooth_iterations=1,
+                     guidance_smooth_sigma=0.5)
+    ea0 = float(mm.mean_angular_error(
+        guided_normal_filter(m, guidance, cfg0, neighbors=32), gt))
+    ea1 = float(mm.mean_angular_error(
+        guided_normal_filter(m, guidance, cfg1, neighbors=32), gt))
+    assert ea1 < ea0 * 0.9, (ea0, ea1)
