@@ -156,9 +156,15 @@ def mesh_statistics(
 HEAVY_NOISE_DEG = 38.0
 CREASE_DENSITY_LO = 1.5
 CREASE_DENSITY_HI = 5.5
+# Below this the post-smoothing disorder is effectively crease-FREE —
+# a smooth organic surface (measured: fertility 0.62, nicolo 1.01;
+# the nearest curve-like CAD case sits at 2.37).
+ORGANIC_DENSITY = 1.25
 
-# The two deployment recipes (docs/GOLDEN.md round-4 tables).
+# The deployment recipes (docs/GOLDEN.md round-4 tables).
 _WIDE = dict(radius_scale=4.0, sigma_s_scale=1.8)
+_GENTLE2 = GNFConfig(normal_iterations=4, sigma_r=0.12,
+                     vertex_iterations=2)
 HEAVY_CAD_RECIPE = dict(
     label="heavy-cad",
     passes=2,
@@ -169,8 +175,29 @@ DEFAULT_RECIPE = dict(
     label="default",
     passes=2,
     gnf_cfg=GNFConfig(),
-    gnf_cfg2=GNFConfig(normal_iterations=4, sigma_r=0.12,
-                       vertex_iterations=2),
+    gnf_cfg2=_GENTLE2,
+)
+# Crease-free organics: the guidance residue — not feature blur — is
+# the whole error, so average it (one bilateral smoothing round of the
+# guidance field) and STOP EARLY (the full 20-iteration budget rides
+# the residue into the positions; fertility's 1.4x CD gap was exactly
+# this, docs/GOLDEN.md organic tables). Light noise converges in 4
+# normal iterations; heavy noise still needs ~12.
+ORGANIC_RECIPE = dict(
+    label="organic",
+    passes=2,
+    gnf_cfg=GNFConfig(normal_iterations=4,
+                      guidance_smooth_iterations=1,
+                      guidance_smooth_sigma=0.5),
+    gnf_cfg2=_GENTLE2,
+)
+ORGANIC_HEAVY_RECIPE = dict(
+    label="organic-heavy",
+    passes=2,
+    gnf_cfg=GNFConfig(normal_iterations=12,
+                      guidance_smooth_iterations=1,
+                      guidance_smooth_sigma=0.5),
+    gnf_cfg2=_GENTLE2,
 )
 
 
@@ -179,16 +206,26 @@ def pick_recipe(mesh: TriMesh, stats: MeshStats | None = None) -> Recipe:
 
     Heavy noise on a shape whose post-smoothing disorder is
     curve-like (true sparse creases — the crease-density band) gets
-    the wide-kernel full-strength cascade; everything else the tuned
-    default with the gentle second pass. Both branches use the
-    two-stage cascade (stage-2 checkpoint) — the held-out-validated
-    deployment default.
+    the wide-kernel full-strength cascade; crease-free shapes (density
+    below ``ORGANIC_DENSITY``) get the guidance-smoothed early-stop
+    organic recipe (noise severity picks the iteration budget);
+    everything else the tuned default with the gentle second pass. All
+    branches use the two-stage cascade (stage-2 checkpoint) — the
+    held-out-validated deployment default.
     """
     if stats is None:
         stats = mesh_statistics(mesh)
-    heavy_cad = (
+    if (
         stats.noise_deg >= HEAVY_NOISE_DEG
         and CREASE_DENSITY_LO <= stats.crease_density <= CREASE_DENSITY_HI
-    )
-    chosen = HEAVY_CAD_RECIPE if heavy_cad else DEFAULT_RECIPE
+    ):
+        chosen = HEAVY_CAD_RECIPE
+    elif stats.crease_density <= ORGANIC_DENSITY:
+        chosen = (
+            ORGANIC_HEAVY_RECIPE
+            if stats.noise_deg >= HEAVY_NOISE_DEG
+            else ORGANIC_RECIPE
+        )
+    else:
+        chosen = DEFAULT_RECIPE
     return Recipe(stats=stats, **chosen)

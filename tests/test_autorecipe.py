@@ -70,15 +70,19 @@ def test_pick_recipe_branches(shapes):
     assert heavy_cad.label == "heavy-cad"
     assert heavy_cad.gnf_cfg.radius_scale == 4.0
     assert heavy_cad.passes == 2
-    # Heavy organic -> default (wide kernel over-smooths organics):
-    # passes the noise gate (noise_deg ~40) but fails the crease band.
+    # Heavy organic -> the organic-heavy recipe: passes the noise gate
+    # (noise_deg ~40) but is crease-FREE, so the guidance-smoothed
+    # early-stop branch wins (the wide kernel over-smooths organics).
     organic = pick_recipe(_noisy(shapes["sphere"], 0.6))
-    assert organic.label == "default"
-    # Gentle second pass in the default branch.
-    assert organic.gnf_cfg2.normal_iterations < (
-        organic.gnf_cfg.normal_iterations
-    )
-    # Light noise -> default even on CAD.
+    assert organic.label == "organic-heavy"
+    assert organic.gnf_cfg.guidance_smooth_iterations == 1
+    # Gentle second pass in the organic branch too.
+    assert organic.gnf_cfg2.normal_iterations < 12
+    # Light-noise organic -> the early-stopped organic recipe.
+    light_org = pick_recipe(_noisy(shapes["sphere"], 0.2))
+    assert light_org.label == "organic"
+    assert light_org.gnf_cfg.normal_iterations == 4
+    # Light noise -> default on CAD (crease density in/above the band).
     assert pick_recipe(_noisy(shapes["box"], 0.1)).label == "default"
-    # Clean mesh -> default.
+    # Clean mesh -> default on CAD.
     assert pick_recipe(shapes["box"]).label == "default"

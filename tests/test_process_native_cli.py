@@ -231,8 +231,9 @@ def test_cli_denoise_mesh_auto_recipe(tmp_path, capsys):
     """--auto estimates the regime from the input and picks the knobs
     (meshproc.autorecipe) — the spinbox-free counterpart of the
     reference app's manual noise/iteration controls
-    (GCNDenoiser.cpp:25-33). A lightly-noised flat grid must route to
-    the default recipe and still produce output."""
+    (GCNDenoiser.cpp:25-33). A lightly-noised flat grid is crease-free
+    at light noise, so it must route to the organic recipe and still
+    produce output."""
     import jax
 
     from ngpd_tpu.apps.cli import main
@@ -271,7 +272,7 @@ def test_cli_denoise_mesh_auto_recipe(tmp_path, capsys):
     ])
     assert out_p.exists()
     captured = capsys.readouterr().out
-    assert "auto recipe: default" in captured
+    assert "auto recipe: organic" in captured
 
 
 def test_viz_outputs(tmp_path):
