@@ -118,9 +118,12 @@ def main():
         sub = [r for r in rows if r["mesh"] == label]
         best = min(sub, key=lambda r: r["Ea"])
         routed = sub[0]["routed"]
-        ok = "OK" if best["recipe"] == routed or (
-            routed not in {r["recipe"] for r in sub}
-        ) else "MISROUTE"
+        if routed not in {r["recipe"] for r in sub}:
+            ok = "UNTESTED"  # router picked a recipe outside the A/B pair
+        elif best["recipe"] == routed:
+            ok = "OK"
+        else:
+            ok = "MISROUTE"
         parts = " | ".join(
             f"{r['recipe']} Ea {r['Ea']} CD {r['CD']:.3e}" for r in sub
         )

@@ -121,8 +121,11 @@ def guided_normal_filter(
     if cfg.guidance_smooth_iterations > 0:
         # Bilateral smoothing of the guidance FIELD before filtering
         # (GNFConfig docstring): area x spatial x range weights over the
-        # same fixed neighborhood, self included (kNN excludes self).
-        normals0, areas0, _ = mesh.face_data()
+        # same fixed neighborhood. The query face is its own first kNN
+        # neighbor (knn defaults to exclude_self=False: d2=0, r2=0), so
+        # the gathered sum already carries the self contribution with
+        # weight area_i — no explicit self term.
+        _, areas0, _ = mesh.face_data()
         sigma_s0 = _gnf_radius_sigma(mesh, cfg.sigma_s_scale, face_mask)
         w_sp = areas0[nb_idx] * jnp.exp(
             -0.5 * d2 / jnp.maximum(sigma_s0**2, 1e-30)
@@ -134,7 +137,7 @@ def guided_normal_filter(
             gj = g[nb_idx]
             r2 = jnp.sum((g[:, None, :] - gj) ** 2, axis=-1)
             w = w_sp * jnp.exp(-0.5 * r2 / sg2)
-            acc = areas0[:, None] * g + jnp.sum(w[..., None] * gj, axis=1)
+            acc = jnp.sum(w[..., None] * gj, axis=1)
             nrm = jnp.linalg.norm(acc, axis=1, keepdims=True)
             g = jnp.where(nrm > 1e-12, acc / jnp.maximum(nrm, 1e-12), g)
         guidance_normals = g
@@ -160,8 +163,8 @@ def guided_normal_filter(
         src = g_j if it == 0 else normals[nb_idx]
         filt = jnp.sum(w[..., None] * src, axis=1)
         # Zero-weight rescue: a face whose every neighborhood weight
-        # underflows (padded sentinel faces under a tight sigma_r; kNN
-        # excludes self) keeps its own current normal — normalizing a
+        # underflows (padded sentinel faces under a tight sigma_r)
+        # keeps its own current normal — normalizing a
         # flushed-to-zero accumulator against the 1e-30 floor minted
         # ~1e10-magnitude "normals" that blew up the vertex update.
         nrm_f = jnp.linalg.norm(filt, axis=1, keepdims=True)
