@@ -121,6 +121,81 @@ def _last_known_good_tpu():
     return best
 
 
+def run_mesh_bench(platform: str) -> dict:
+    """Flagship mesh pipeline throughput: the full two-pass GCN cascade
+    (patch extraction -> DGCNN guidance -> guided normal filtering ->
+    vertex updates, then a second pass with the distinct stage-2
+    network) on a golden-scale synthetic mesh, with the committed
+    checkpoints. This is the reference app's interactive workload
+    (MeshViewer.cpp:769-1416, batch-720 loop at :802-890) measured as
+    faces/second end-to-end.
+
+    Returns a dict for embedding in the bench JSON line. A quality gate
+    guards the number: the cascade must cut the mean angular error to
+    <= 35% of the noisy mesh's, or the result reports "fail"."""
+    import jax
+    import jax.numpy as jnp
+
+    from ngpd_tpu.config import GNFConfig
+    from ngpd_tpu.learn.weights import load_dgcnn_npz
+    from ngpd_tpu.meshproc.gcn_denoiser import gcn_denoise_mesh
+    from ngpd_tpu.meshproc.metrics import mean_angular_error
+    from ngpd_tpu.meshproc.synthetic import icosphere
+    from ngpd_tpu.meshproc.trimesh import add_mesh_noise
+    from ngpd_tpu.models.dgcnn import dgcnn_from_variables
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    variables = load_dgcnn_npz(os.path.join(here, "assets/dgcnn_mesh.npz"))
+    variables2 = load_dgcnn_npz(
+        os.path.join(here, "assets/dgcnn_mesh_2.npz")
+    )
+    model = dgcnn_from_variables(variables)
+
+    # Golden-scale on the chip (nicolo is 99,994 faces); a small smoke
+    # mesh on CPU fallback runs.
+    subdiv = int(os.environ.get(
+        "NGPD_BENCH_MESH_SUBDIV", 6 if platform != "cpu" else 4
+    ))
+    clean = icosphere(subdiv=subdiv, radius=0.6)
+    noisy = add_mesh_noise(clean, jax.random.PRNGKey(0), 0.3)
+    nf = int(clean.num_faces)
+
+    # The deployment default recipe: tuned pass-1 knobs + the gentle
+    # second pass with the distinct stage-2 checkpoint (docs/GOLDEN.md).
+    gentle2 = GNFConfig(normal_iterations=4, sigma_r=0.12,
+                        vertex_iterations=2)
+    # batch 2048 instead of the app's 720: per-face inference is
+    # embarrassingly parallel and 2048x20x64 fits VMEM/HBM easily; the
+    # 720 constant is a CUDA-memory artifact of the reference.
+    run = lambda: gcn_denoise_mesh(  # noqa: E731
+        noisy, model, variables, passes=2, gnf_cfg=GNFConfig(),
+        variables2=variables2, gnf_cfg2=gentle2, batch_size=2048,
+    )
+
+    out = run()
+    float(jnp.sum(out.v))  # sync (see sync() note in main)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = run()
+        float(jnp.sum(out.v))
+        best = min(best, time.perf_counter() - t0)
+
+    ea_noisy = float(mean_angular_error(noisy, clean))
+    ea_out = float(mean_angular_error(out, clean))
+    ratio = ea_out / max(ea_noisy, 1e-30)
+    gate = "pass" if ratio <= 0.35 else "fail"
+    return {
+        "metric": f"mesh cascade ({nf} faces, 2-pass GCN+GNF, {platform})",
+        "value": round(nf / best, 1),
+        "unit": "faces/s",
+        "seconds": round(best, 3),
+        "quality_gate": gate,
+        "quality_ea_noisy_deg": round(ea_noisy, 2),
+        "quality_ea_denoised_deg": round(ea_out, 2),
+    }
+
+
 def main():
     from ngpd_tpu.utils.cache import enable_compilation_cache
 
@@ -141,6 +216,13 @@ def main():
         backend = "cpu-fallback"
     import jax
     import jax.numpy as jnp
+
+    if "--mesh" in sys.argv:
+        # Standalone mesh-cascade bench: one JSON line, mesh metric only.
+        rec = run_mesh_bench(jax.devices()[0].platform)
+        rec["backend"] = backend
+        print(json.dumps(rec))
+        sys.exit(1 if rec.get("quality_gate") == "fail" else 0)
 
     from ngpd_tpu.config import DenoiseConfig
     from ngpd_tpu.core.fused import fused_denoise
@@ -239,6 +321,14 @@ def main():
             # The CPU number is a smoke check, not the perf record —
             # carry the standing TPU record alongside it.
             line["last_known_good_tpu"] = lkg
+    # Second driver-visible metric: the flagship mesh cascade, embedded
+    # in the same single JSON line. Guarded so a mesh-path failure can
+    # never cost the point-engine perf record.
+    if os.environ.get("NGPD_BENCH_MESH", "1") != "0":
+        try:
+            line["mesh_pipeline"] = run_mesh_bench(platform)
+        except Exception as e:  # pragma: no cover - defensive
+            line["mesh_pipeline"] = {"error": repr(e)[:200]}
     print(json.dumps(line))
     if gate == "fail":
         # A regression in the fast engine shows up here long before it

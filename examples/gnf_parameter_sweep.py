@@ -131,7 +131,7 @@ def main():
     ap.add_argument("--vi", default="16,24")
     ap.add_argument("--gs-iters", default="0",
                     help="guidance_smooth_iterations values to grid")
-    ap.add_argument("--gs-sigma", default="0.35",
+    ap.add_argument("--gs-sigma", default="0.5",
                     help="guidance_smooth_sigma values to grid")
     ap.add_argument("--radius-scale", type=float, default=2.0)
     ap.add_argument("--sigma-s-scale", type=float, default=1.0)

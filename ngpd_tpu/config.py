@@ -122,11 +122,13 @@ class GNFConfig:
     # independent, so a few rounds of bilateral averaging of the
     # GUIDANCE field cancels them ~sqrt(K) while the true normal field
     # varies slowly; the range term (bandwidth ``guidance_smooth_sigma``
-    # in unit-normal distance, 0.35 ~ 20 deg) keeps any sharp feature
+    # in unit-normal distance, 0.5 ~ 29 deg) keeps any sharp feature
     # from mixing. Off (0 iterations) in the default recipe; the
-    # organic auto-recipe turns it on (docs/GOLDEN.md).
+    # organic auto-recipe turns it on (docs/GOLDEN.md). The sigma
+    # default is the measured organic-recipe value (round-5 sweep) and
+    # matches the CLI/--guidance-smooth-sigma default.
     guidance_smooth_iterations: int = 0
-    guidance_smooth_sigma: float = 0.35
+    guidance_smooth_sigma: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -142,25 +142,62 @@ def guided_normal_filter(
             g = jnp.where(nrm > 1e-12, acc / jnp.maximum(nrm, 1e-12), g)
         guidance_normals = g
 
+    ff_idx, ff_mask = mesh.face_face_adjacency()
+    fm = (
+        jnp.ones(f.shape[0], dtype=v.dtype)
+        if face_mask is None
+        else face_mask.astype(v.dtype)
+    )
     g_j = guidance_normals[nb_idx]  # (F, K, 3) — gathered once
     range_dis2 = jnp.sum(
         (guidance_normals[:, None, :] - g_j) ** 2, axis=-1
     )
     range_w = jnp.exp(-0.5 * range_dis2 / (cfg.sigma_r**2))
+    cur_v = _filter_iterations(
+        v, f, vf_idx, vf_mask, ff_idx, ff_mask, nb_idx, in_radius,
+        range_w, g_j, fm, cfg,
+    )
+    return mesh.with_vertices(cur_v)
 
-    cur_v = v
-    for it in range(cfg.normal_iterations):
-        m = TriMesh(cur_v, f, mesh._vf, mesh._ff)
-        normals, areas, centroids = m.face_data()
-        sigma_s = _gnf_radius_sigma(m, cfg.sigma_s_scale, face_mask)
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _filter_iterations(
+    v, f, vf_idx, vf_mask, ff_idx, ff_mask, nb_idx, in_radius,
+    range_w, g_j, fm, cfg: GNFConfig,
+):
+    """The filter's iteration loop as ONE compiled program.
+
+    Each normal iteration + its vertex updates is a `lax.scan` step, so
+    the whole `normal_iterations x (filter + vertex_iterations)` run is
+    a single dispatch — the eager Python loop paid ~1k tiny dispatches
+    per mesh, which dominated wall-clock through a remote-device
+    tunnel (bench: the 81,920-face cascade spent most of its 30 s in
+    dispatch, not compute)."""
+
+    def body(cur_v, first):
+        normals, areas, centroids = face_normals_areas_centroids(cur_v, f)
+        # sigma_s = mean adjacent-centroid distance x scale, from the
+        # CURRENT geometry (MeshNormalFiltering.cpp:135-170), masked to
+        # real faces (either side padded -> pair excluded).
+        dd = jnp.linalg.norm(
+            centroids[ff_idx] - centroids[:, None, :], axis=-1
+        )
+        mm = ff_mask.astype(dd.dtype) * fm[:, None] * fm[ff_idx]
+        dd = jnp.where(mm > 0, dd, 0.0)
+        sigma_s = (
+            cfg.sigma_s_scale
+            * jnp.sum(dd)
+            / jnp.maximum(jnp.sum(mm), 1.0)
+        )
         c_j = centroids[nb_idx]
         sp2 = jnp.sum((centroids[:, None, :] - c_j) ** 2, axis=-1)
         spatial_w = jnp.exp(-0.5 * sp2 / jnp.maximum(sigma_s**2, 1e-30))
         w = areas[nb_idx] * spatial_w * range_w
         w = jnp.where(in_radius, w, 0.0)
         # Iteration 0 accumulates guidance normals, later its own
-        # previous output (cpp:223-231).
-        src = g_j if it == 0 else normals[nb_idx]
+        # previous output (cpp:223-231). `first` is a traced scalar so
+        # every iteration shares one compiled body.
+        src = jnp.where(first, g_j, normals[nb_idx])
         filt = jnp.sum(w[..., None] * src, axis=1)
         # Zero-weight rescue: a face whose every neighborhood weight
         # underflows (padded sentinel faces under a tight sigma_r)
@@ -174,4 +211,8 @@ def guided_normal_filter(
         cur_v = update_vertex_positions(
             cur_v, f, vf_idx, vf_mask, filt, cfg.vertex_iterations
         )
-    return mesh.with_vertices(cur_v)
+        return cur_v, None
+
+    firsts = jnp.arange(cfg.normal_iterations) == 0
+    out, _ = jax.lax.scan(body, v, firsts)
+    return out

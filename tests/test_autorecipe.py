@@ -86,3 +86,29 @@ def test_pick_recipe_branches(shapes):
     assert pick_recipe(_noisy(shapes["box"], 0.1)).label == "default"
     # Clean mesh -> default on CAD.
     assert pick_recipe(shapes["box"]).label == "default"
+
+
+@pytest.mark.slow
+def test_golden_meshes_route_to_measured_winners():
+    """Routing lock on the four golden noisy meshes: a threshold tweak
+    must not silently change which recipe `--auto` hands each golden
+    (docs/GOLDEN.md probe + scoreboard tables are the evidence each
+    route is the measured winner). Stats only — no denoise run."""
+    from pathlib import Path
+
+    ref = Path("/root/reference/models")
+    if not ref.exists():
+        pytest.skip("reference assets not mounted")
+    from ngpd_tpu.meshproc.collector import load_mesh
+
+    expected = {
+        "fandisk_gaus_n6_noisy.obj": "heavy-cad",
+        "trim-star_gaus_n3.obj": "default",
+        "fertility_gaus_n3.obj": "organic",
+        "nicolo_imp6_noisy.obj": "organic-heavy",
+    }
+    got = {
+        name: pick_recipe(load_mesh(ref / name)).label
+        for name in expected
+    }
+    assert got == expected
