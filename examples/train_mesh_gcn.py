@@ -330,6 +330,7 @@ def evaluate(args):
         rows.append(row)
         print(json.dumps(row), flush=True)
     out = WORK / args.eval_out
+    WORK.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(rows, indent=2))
     print("wrote", out)
 

@@ -25,6 +25,16 @@ scores the full deployment flow instead — single pass vs the
 two-stage cascade with the gentle second-pass knobs — on the same
 held-out cases, validating the docs/GOLDEN.md cascade recipe off the
 goldens it was picked on.
+
+The ORGANIC half of the held-out protocol lives in
+``examples/organic_ab.py``: the cases above are CAD/scan shapes whose
+crease density routes them to the default or heavy-cad recipes, so
+they cannot validate the organic branches. organic_ab.py A/Bs
+default-vs-organic recipes on crease-free shapes with fresh noise
+(spot/homer, plus stanford-bunny which is absent from the training
+corpus entirely) and scores the crease-density routing alongside —
+run both drivers for the full off-golden validation record
+(docs/GOLDEN.md "held-out" tables).
 """
 
 from __future__ import annotations

@@ -8,7 +8,11 @@ regime-dependent:
 
 * heavy-noise CAD inputs (fandisk gaus n6) want the WIDE spatial
   kernel (radius_scale 4.0, sigma_s_scale 1.8) and a full-strength
-  second cascade pass — Ea 3.49 vs the reference's 3.95;
+  second cascade pass — Ea 3.47 vs the reference's 3.95;
+* crease-free ORGANICS want the guidance-smoothing pre-pass and an
+  early-stopped filter (fertility Ea 3.95 vs 4.01 at CD ratio 0.88;
+  the round-5 sweep shows one smoothing round is the lever and the
+  full iteration budget rides guidance residue into the positions);
 * everything else wants the tuned default kernel and the GENTLE
   second pass (4:0.12:2) — over-smoothing is the failure mode.
 

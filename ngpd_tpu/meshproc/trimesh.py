@@ -48,41 +48,60 @@ def vertex_normals(v: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
 
 def _build_vertex_face_adjacency(f: np.ndarray, nv: int):
     """Dense (V, max_deg) incident-face indices + mask (the vta of
-    Object.py:211 / OpenMesh vf_iter)."""
-    lists: list[list[int]] = [[] for _ in range(nv)]
-    for fi, tri in enumerate(f):
-        for c in tri:
-            lists[int(c)].append(fi)
-    deg = max((len(l) for l in lists), default=1)
+    Object.py:211 / OpenMesh vf_iter). Fully vectorized — the Python
+    loop version took ~20 s on a 100k-face mesh and dominated the cold
+    mesh-pipeline latency."""
+    nf = len(f)
+    if nf == 0:
+        return np.zeros((nv, 1), np.int32), np.zeros((nv, 1), bool)
+    vi = f.ravel().astype(np.int64)  # (3F,) vertex of each corner
+    fi = np.repeat(np.arange(nf, dtype=np.int64), 3)
+    order = np.argsort(vi, kind="stable")  # stable: faces stay in order
+    vi_s, fi_s = vi[order], fi[order]
+    counts = np.bincount(vi_s, minlength=nv)
+    deg = int(counts.max()) if counts.size else 1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(vi_s)) - starts[vi_s]  # rank within each vertex
     idx = np.zeros((nv, deg), np.int32)
     mask = np.zeros((nv, deg), bool)
-    for vi, l in enumerate(lists):
-        idx[vi, : len(l)] = l
-        mask[vi, : len(l)] = True
+    idx[vi_s, pos] = fi_s
+    mask[vi_s, pos] = True
     return idx, mask
 
 
 def _build_face_face_adjacency(f: np.ndarray):
     """(F, 3) edge-adjacent faces (igl.triangle_triangle_adjacency as in
-    Object.py:335); -1 -> self with mask False."""
-    edge_map: dict[tuple[int, int], list[int]] = {}
-    for fi, tri in enumerate(f):
-        for a, b in ((0, 1), (1, 2), (2, 0)):
-            key = tuple(sorted((int(tri[a]), int(tri[b]))))
-            edge_map.setdefault(key, []).append(fi)
+    Object.py:335); boundary edge -> self with mask False. Vectorized:
+    each face edge gets a canonical integer key, equal keys are grouped
+    by a stable sort, and every edge takes the FIRST other face of its
+    group (insertion order, matching the loop version's others[0] on
+    non-manifold edges)."""
     nf = len(f)
-    idx = np.zeros((nf, 3), np.int32)
-    mask = np.zeros((nf, 3), bool)
-    for fi, tri in enumerate(f):
-        for e, (a, b) in enumerate(((0, 1), (1, 2), (2, 0))):
-            key = tuple(sorted((int(tri[a]), int(tri[b]))))
-            others = [x for x in edge_map[key] if x != fi]
-            if others:
-                idx[fi, e] = others[0]
-                mask[fi, e] = True
-            else:
-                idx[fi, e] = fi
-    return idx, mask
+    if nf == 0:
+        return np.zeros((0, 3), np.int32), np.zeros((0, 3), bool)
+    a = f.astype(np.int64)
+    b = a[:, [1, 2, 0]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    key = lo * (int(f.max()) + 1) + hi  # unique per undirected edge
+    flat_key = key.ravel()  # slot order = fi*3 + e
+    order = np.argsort(flat_key, kind="stable").astype(np.int64)
+    sk = flat_key[order]
+    new_group = np.concatenate([[True], sk[1:] != sk[:-1]])
+    group_id = np.cumsum(new_group) - 1
+    group_start = np.flatnonzero(new_group)
+    gsize = np.diff(np.concatenate([group_start, [len(sk)]]))
+    first = order[group_start]  # first slot of each edge group
+    second = order[np.minimum(group_start + 1, len(sk) - 1)]
+    g_first = first[group_id]
+    g_second = second[group_id]
+    valid = gsize[group_id] >= 2
+    partner = np.where(order == g_first, g_second, g_first)
+    idx = np.empty(nf * 3, np.int32)
+    mask = np.zeros(nf * 3, bool)
+    own_face = (order // 3).astype(np.int32)
+    idx[order] = np.where(valid, (partner // 3).astype(np.int32), own_face)
+    mask[order] = valid
+    return idx.reshape(nf, 3), mask.reshape(nf, 3)
 
 
 @dataclasses.dataclass

@@ -220,3 +220,45 @@ def test_heavy_cad_cascade_beats_reference_output_on_fandisk():
     ea_ref = float(mean_angular_error(ref_out, clean))
     ea_ours = float(mean_angular_error(ours, clean))
     assert ea_ours < ea_ref, (ea_ours, ea_ref)
+
+
+def test_organic_cascade_beats_reference_output_on_fertility():
+    """The organic recipe (guidance-smoothing pre-pass + early-stopped
+    filter + gentle second cascade pass — what `--auto` routes
+    fertility gaus n3 to) must beat the reference app's own shipped
+    denoised fertility on BOTH mean angular error and chamfer distance
+    (docs/GOLDEN.md round-5: Ea 3.949 vs 4.013, CD ratio 0.88). Locks
+    the organic-regime win to the committed checkpoints and recipe."""
+    assets = Path(__file__).resolve().parents[1] / "assets"
+    ckpt, ckpt2 = assets / "dgcnn_mesh.npz", assets / "dgcnn_mesh_2.npz"
+    if not (ckpt.exists() and ckpt2.exists()):
+        pytest.skip("trained cascade checkpoints not built")
+    from ngpd_tpu.learn.weights import load_dgcnn_npz
+    from ngpd_tpu.meshproc.autorecipe import ORGANIC_RECIPE
+    from ngpd_tpu.meshproc.collector import load_mesh
+    from ngpd_tpu.meshproc.gcn_denoiser import gcn_denoise_mesh
+    from ngpd_tpu.meshproc.metrics import mean_angular_error
+    from ngpd_tpu.models.dgcnn import dgcnn_from_variables
+    from ngpd_tpu.ops import metrics as pmetrics
+
+    noisy = load_mesh(REF_MODELS / "fertility_gaus_n3.obj")
+    clean = load_mesh(REF_MODELS / "fertility.obj")
+    ref_out = load_mesh(REF_MODELS / "fertility_gaus_n3_denoised.obj")
+
+    variables = load_dgcnn_npz(ckpt)
+    ours = gcn_denoise_mesh(
+        noisy,
+        dgcnn_from_variables(variables),
+        variables,
+        passes=ORGANIC_RECIPE["passes"],
+        gnf_cfg=ORGANIC_RECIPE["gnf_cfg"],
+        variables2=load_dgcnn_npz(ckpt2),
+        gnf_cfg2=ORGANIC_RECIPE["gnf_cfg2"],
+        bucketed=True,
+    )
+    ea_ref = float(mean_angular_error(ref_out, clean))
+    ea_ours = float(mean_angular_error(ours, clean))
+    assert ea_ours < ea_ref, (ea_ours, ea_ref)
+    cd_ref = float(jnp.mean(pmetrics.chamfer_distance(clean.v, ref_out.v)))
+    cd_ours = float(jnp.mean(pmetrics.chamfer_distance(clean.v, ours.v)))
+    assert cd_ours < cd_ref, (cd_ours, cd_ref)
