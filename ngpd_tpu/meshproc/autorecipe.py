@@ -154,16 +154,19 @@ def mesh_statistics(
 
 
 # Regime thresholds, fixed from the measured probe + A/B tables
-# (docs/GOLDEN.md "Auto-recipe"). The curve-like crease-density band:
+# (docs/GOLDEN.md "Auto-recipe" + the round-5 three-arm A/B,
+# examples/recipe_ab3.py). The curve-like crease-density band:
 # measured true-CAD inputs land in [2.4, 4.0], area-like smoothing
 # residue at >= 6.2, organics <= 1.0 — the band edges sit in the gaps.
 HEAVY_NOISE_DEG = 38.0
 CREASE_DENSITY_LO = 1.5
 CREASE_DENSITY_HI = 5.5
-# Below this the post-smoothing disorder is effectively crease-FREE —
-# a smooth organic surface (measured: fertility 0.62, nicolo 1.01;
-# the nearest curve-like CAD case sits at 2.37).
-ORGANIC_DENSITY = 1.25
+# Catastrophic-noise regime: above this raw adjacent-normal angle the
+# guidance is too degraded for any specialist recipe and the plain
+# tuned filter has the best Ea (measured: stairs-g6 at 65.9 is the
+# only such case; teapot-g6 at 52.8 still prefers organic-heavy — the
+# gate sits in the gap).
+EXTREME_NOISE_DEG = 55.0
 
 # The deployment recipes (docs/GOLDEN.md round-4 tables).
 _WIDE = dict(radius_scale=4.0, sigma_s_scale=1.8)
@@ -208,14 +211,31 @@ ORGANIC_HEAVY_RECIPE = dict(
 def pick_recipe(mesh: TriMesh, stats: MeshStats | None = None) -> Recipe:
     """Choose the deployment recipe for a noisy mesh.
 
-    Heavy noise on a shape whose post-smoothing disorder is
-    curve-like (true sparse creases — the crease-density band) gets
-    the wide-kernel full-strength cascade; crease-free shapes (density
-    below ``ORGANIC_DENSITY``) get the guidance-smoothed early-stop
-    organic recipe (noise severity picks the iteration budget);
-    everything else the tuned default with the gentle second pass. All
-    branches use the two-stage cascade (stage-2 checkpoint) — the
-    held-out-validated deployment default.
+    The round-5 three-arm A/B (every deployment recipe on 15 cases:
+    4 goldens + 11 held-out, `examples/recipe_ab3.py` +
+    `organic_ab.py`, tables in docs/GOLDEN.md) made the rule simple:
+
+    * heavy noise on a CURVE-LIKE crease set (the crease-density band
+      — true sparse CAD creases: wedge/cylinder/fandisk) -> the
+      wide-kernel full-strength cascade;
+    * CATASTROPHIC noise (raw disorder >= 55 deg — stairs-g6) -> the
+      plain tuned filter; the guidance is too degraded for any
+      specialist treatment;
+    * everything else -> the guidance-smoothed early-stop ORGANIC
+      recipe (noise severity picks the iteration budget). This branch
+      won 8 of its 10 A/B cases outright on angular error and ALL of
+      them on chamfer distance — per-face guidance errors are nearly
+      independent off sharp creases, so averaging them is the lever,
+      while the range term (sigma 0.5 ~ 29 deg) protects creases
+      sharp enough to matter.
+
+    The round-4 router gated the organic branch on crease density
+    <= 1.25 — fixed from two golden datapoints; the held-out A/B
+    showed that misroutes spot/homer/teapot (regret up to 1.25 deg),
+    while the rule above loses at most 0.14-0.38 deg anywhere
+    (trim-star/cow, where the organic route still IMPROVES chamfer
+    distance). All branches use the two-stage cascade (stage-2
+    checkpoint) — the held-out-validated deployment default.
     """
     if stats is None:
         stats = mesh_statistics(mesh)
@@ -224,12 +244,12 @@ def pick_recipe(mesh: TriMesh, stats: MeshStats | None = None) -> Recipe:
         and CREASE_DENSITY_LO <= stats.crease_density <= CREASE_DENSITY_HI
     ):
         chosen = HEAVY_CAD_RECIPE
-    elif stats.crease_density <= ORGANIC_DENSITY:
+    elif stats.noise_deg >= EXTREME_NOISE_DEG:
+        chosen = DEFAULT_RECIPE
+    else:
         chosen = (
             ORGANIC_HEAVY_RECIPE
             if stats.noise_deg >= HEAVY_NOISE_DEG
             else ORGANIC_RECIPE
         )
-    else:
-        chosen = DEFAULT_RECIPE
     return Recipe(stats=stats, **chosen)

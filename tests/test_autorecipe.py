@@ -82,18 +82,33 @@ def test_pick_recipe_branches(shapes):
     light_org = pick_recipe(_noisy(shapes["sphere"], 0.2))
     assert light_org.label == "organic"
     assert light_org.gnf_cfg.normal_iterations == 4
-    # Light noise -> default on CAD (crease density in/above the band).
-    assert pick_recipe(_noisy(shapes["box"], 0.1)).label == "default"
-    # Clean mesh -> default on CAD.
-    assert pick_recipe(shapes["box"]).label == "default"
+    # Light noise on CAD -> organic: the round-5 three-arm A/B showed
+    # the guidance-smoothed recipe wins or ties everywhere outside the
+    # heavy-noise band (its range term protects sharp creases), so the
+    # light-noise branch routes organic even on crease-rich shapes.
+    assert pick_recipe(_noisy(shapes["box"], 0.1)).label == "organic"
+    # Clean mesh -> the gentle organic branch (negative control: a
+    # clean input takes the early-stopped recipe, not a heavy one).
+    assert pick_recipe(shapes["box"]).label == "organic"
+    # Catastrophic noise -> the plain tuned filter (the stairs-g6
+    # regime: raw disorder >= 55 deg degrades guidance past the point
+    # where any specialist recipe helps).
+    from ngpd_tpu.meshproc.autorecipe import EXTREME_NOISE_DEG, MeshStats
+
+    ex = MeshStats(noise_deg=EXTREME_NOISE_DEG + 5.0, crease_frac=0.1,
+                   crease_density=9.0)
+    assert pick_recipe(shapes["box"], ex).label == "default"
 
 
 @pytest.mark.slow
 def test_golden_meshes_route_to_measured_winners():
     """Routing lock on the four golden noisy meshes: a threshold tweak
-    must not silently change which recipe `--auto` hands each golden
-    (docs/GOLDEN.md probe + scoreboard tables are the evidence each
-    route is the measured winner). Stats only — no denoise run."""
+    must not silently change which recipe `--auto` hands each golden.
+    Fandisk/fertility/nicolo route to their measured per-mesh winner;
+    trim-star routes organic — 0.14 deg off its per-mesh Ea best with
+    a BETTER chamfer distance, the regret-minimal rule fixed by the
+    round-5 three-arm A/B (docs/GOLDEN.md). Stats only — no denoise
+    run."""
     from pathlib import Path
 
     ref = Path("/root/reference/models")
@@ -103,7 +118,7 @@ def test_golden_meshes_route_to_measured_winners():
 
     expected = {
         "fandisk_gaus_n6_noisy.obj": "heavy-cad",
-        "trim-star_gaus_n3.obj": "default",
+        "trim-star_gaus_n3.obj": "organic",
         "fertility_gaus_n3.obj": "organic",
         "nicolo_imp6_noisy.obj": "organic-heavy",
     }
