@@ -167,9 +167,10 @@ def run_mesh_bench(platform: str) -> dict:
     # batch 2048 instead of the app's 720: per-face inference is
     # embarrassingly parallel and 2048x20x64 fits VMEM/HBM easily; the
     # 720 constant is a CUDA-memory artifact of the reference.
+    batch = int(os.environ.get("NGPD_BENCH_MESH_BATCH", 2048))
     run = lambda: gcn_denoise_mesh(  # noqa: E731
         noisy, model, variables, passes=2, gnf_cfg=GNFConfig(),
-        variables2=variables2, gnf_cfg2=gentle2, batch_size=2048,
+        variables2=variables2, gnf_cfg2=gentle2, batch_size=batch,
     )
 
     out = run()

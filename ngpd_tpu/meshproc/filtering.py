@@ -102,9 +102,14 @@ def guided_normal_filter(
     cfg: GNFConfig = GNFConfig(),
     neighbors: int = 64,
     face_mask: Optional[jnp.ndarray] = None,
+    pre_nbh=None,
 ) -> TriMesh:
     """Denoise a mesh given per-face guidance normals (e.g. GCN
     predictions) — MeshNormalFiltering.denoiseWithPredictedNormal.
+
+    ``pre_nbh``: optional precomputed ``(idx, mask, sqdist)`` centroid
+    kNN (k = ``neighbors``) shared with patch extraction — the kNN is
+    the pipeline's single most expensive op.
 
     Returns the mesh with updated vertex positions.
     """
@@ -113,10 +118,13 @@ def guided_normal_filter(
     radius = _gnf_radius_sigma(mesh, cfg.radius_scale, face_mask)
 
     # Fixed neighborhoods from the INITIAL mesh (cpp:196-197).
-    _, _, centroids0 = mesh.face_data()
-    nbh, d2 = knn(centroids0, neighbors)
-    in_radius = nbh.mask & (d2 <= radius**2)
-    nb_idx = nbh.idx
+    if pre_nbh is None:
+        _, _, centroids0 = mesh.face_data()
+        nbh, d2 = knn(centroids0, neighbors)
+        nb_idx, nb_mask = nbh.idx, nbh.mask
+    else:
+        nb_idx, nb_mask, d2 = pre_nbh
+    in_radius = nb_mask & (d2 <= radius**2)
 
     if cfg.guidance_smooth_iterations > 0:
         # Bilateral smoothing of the guidance FIELD before filtering

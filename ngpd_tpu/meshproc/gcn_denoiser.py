@@ -53,6 +53,7 @@ def predict_face_normals(
     batch_size: int = 720,
     pmesh=None,
     axis: str = "points",
+    pre_nbh=None,
 ) -> jnp.ndarray:
     """Per-face world-frame normals from the patch network.
 
@@ -65,7 +66,7 @@ def predict_face_normals(
     __graft_entry__.dryrun_multichip and tests/test_meshproc.py)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    patches = extract_mesh_patches(mesh, cfg=patch_cfg)
+    patches = extract_mesh_patches(mesh, cfg=patch_cfg, pre_nbh=pre_nbh)
     nf = patches.inputs.shape[0]
 
     if pmesh is not None:
@@ -130,10 +131,24 @@ def gcn_denoise_mesh(
         face_mask = padded.face_mask
     else:
         out = mesh
+    from ..ops.knn import knn
+    from .trimesh import face_normals_areas_centroids
+
     for p in range(max(1, passes)):
         pass_vars = variables if p == 0 or variables2 is None else variables2
+        # One centroid-kNN build per pass, shared by patch extraction
+        # and the guided filter (both consume the same k=64 index; the
+        # kNN is the pipeline's most expensive op — ~4.8 s of a 30 s
+        # cascade at 82k faces before sharing). Only when the two
+        # consumers agree on k.
+        pre_nbh = None
+        if patch_cfg.num_nodes == 64:
+            _, _, centroids = face_normals_areas_centroids(out.v, out.f)
+            nbh, d2 = knn(centroids, patch_cfg.num_nodes)
+            pre_nbh = (nbh.idx, nbh.mask, d2)
         guidance = predict_face_normals(
-            out, model, pass_vars, patch_cfg, batch_size, pmesh=pmesh
+            out, model, pass_vars, patch_cfg, batch_size, pmesh=pmesh,
+            pre_nbh=pre_nbh,
         )
         if face_mask is not None:
             # Sentinel faces guide with their own normals; their
@@ -143,7 +158,7 @@ def gcn_denoise_mesh(
             guidance = jnp.where(face_mask[:, None], guidance, own)
         pass_cfg = gnf_cfg if p == 0 or gnf_cfg2 is None else gnf_cfg2
         out = guided_normal_filter(
-            out, guidance, pass_cfg, face_mask=face_mask
+            out, guidance, pass_cfg, face_mask=face_mask, pre_nbh=pre_nbh
         )
     if bucketed:
         return mesh.with_vertices(out.v[: mesh.num_vertices])

@@ -153,7 +153,8 @@ _CHUNK = 16 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _extract(v, f, ff_idx, ff_mask, gt_normals, cfg: PatchConfig):
+def _extract(v, f, ff_idx, ff_mask, gt_normals, cfg: PatchConfig,
+             pre_nbh=None):
     from .trimesh import face_normals_areas_centroids
 
     normals, areas, centroids = face_normals_areas_centroids(v, f)
@@ -161,9 +162,16 @@ def _extract(v, f, ff_idx, ff_mask, gt_normals, cfg: PatchConfig):
     p = cfg.num_nodes
 
     radius = jnp.sqrt(areas * cfg.radius_factor)  # (F,)
-    nbh, d2 = knn(centroids, p)
-    mask = nbh.mask & (d2 <= (radius**2)[:, None])  # (F, P)
-    member = nbh.idx  # (F, P) global face ids; column 0 is the center.
+    if pre_nbh is None:
+        # The centroid kNN is the single most expensive op of the mesh
+        # pipeline (~4.8 s at 82k faces on-chip); callers that also run
+        # the guided filter share one build per pass via ``pre_nbh``.
+        nbh, d2 = knn(centroids, p)
+        nb_idx, nb_mask = nbh.idx, nbh.mask
+    else:
+        nb_idx, nb_mask, d2 = pre_nbh
+    mask = nb_mask & (d2 <= (radius**2)[:, None])  # (F, P)
+    member = nb_idx  # (F, P) global face ids; column 0 is the center.
     deg = jnp.sum(mask, axis=1).astype(jnp.float32)  # radius-nbr count
     gt_n = normals if gt_normals is None else gt_normals
 
@@ -200,10 +208,16 @@ def extract_mesh_patches(
     mesh: TriMesh,
     gt_normals: Optional[jnp.ndarray] = None,
     cfg: PatchConfig = PatchConfig(),
+    pre_nbh=None,
 ) -> MeshPatchBatch:
-    """One 64-face patch per face of the mesh, DGCNN-ready."""
+    """One 64-face patch per face of the mesh, DGCNN-ready.
+
+    ``pre_nbh``: optional precomputed ``(idx, mask, sqdist)`` centroid
+    kNN (k = cfg.num_nodes) to share the build with the guided filter.
+    """
     ff_idx, ff_mask = mesh.face_face_adjacency()
-    return _extract(mesh.v, mesh.f, ff_idx, ff_mask, gt_normals, cfg)
+    return _extract(mesh.v, mesh.f, ff_idx, ff_mask, gt_normals, cfg,
+                    pre_nbh)
 
 
 def unrotate_predictions(
